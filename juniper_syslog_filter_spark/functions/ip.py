@@ -1,0 +1,95 @@
+"""RFC-1918 IP classification — reference F6/F7 rebuilt as pure Catalyst
+column expressions (JVM-side, whole-stage codegen; the reference's ONLY
+non-vectorized op, a per-row ``.apply`` at modules/classify_ip.py:152-153,
+must NOT become a per-row Python UDF — input_hint).
+
+Edge semantics replicated exactly (modules/classify_ip.py:32-101):
+
+* ``""`` / whitespace-only / null  → ``""``
+* malformed non-empty (not 4 parts, non-numeric, octet out of 0-255) →
+  ``"global"`` (is_private returns False, classify falls through)
+* 10/8, 172.16/12, 192.168/16 → ``"private"``; all else ``"global"``
+
+Python ``int(part)`` tolerates surrounding whitespace and leading zeros;
+Spark's ``CAST(s AS INT)`` does the same, so the two agree on those edges.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import and_
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def is_private_ip_expr(ip: Column) -> Column:
+    """Boolean column: ip is a valid RFC-1918 private address."""
+    parts = F.split(ip, r"\.")
+    # try_cast: malformed → null (ANSI-safe), matching Python int()'s
+    # ValueError → False path in the reference.
+    octs = [parts.getItem(i).try_cast("int") for i in range(4)]
+    in_range = reduce(and_, [o.isNotNull() & (o >= 0) & (o <= 255) for o in octs])
+    valid = (F.size(parts) == 4) & in_range
+    private = (
+        (octs[0] == 10)
+        | ((octs[0] == 172) & (octs[1] >= 16) & (octs[1] <= 31))
+        | ((octs[0] == 192) & (octs[1] == 168))
+    )
+    return F.coalesce(valid & private, F.lit(False))
+
+
+def classify_ip_expr(ip: Column) -> Column:
+    """'' | 'private' | 'global' with the reference's edge behavior."""
+    return (
+        F.when(ip.isNull() | (F.trim(ip) == ""), F.lit(""))
+        .when(is_private_ip_expr(ip), F.lit("private"))
+        .otherwise(F.lit("global"))
+    )
+
+
+def classify_ips(df: DataFrame) -> DataFrame:
+    """F7 driver (modules/classify_ip.py:104-206): add srcIP_type /
+    dstIP_type after the corresponding IP columns, preserving the
+    reference's column-order contract (tests/test_classify_ip.py:121-133).
+    """
+    df = df.withColumn("srcIP_type", classify_ip_expr(F.col("srcIP"))).withColumn(
+        "dstIP_type", classify_ip_expr(F.col("dstIP"))
+    )
+    cols = [c for c in df.columns if c not in ("srcIP_type", "dstIP_type")]
+    ordered: list[str] = []
+    for c in cols:
+        ordered.append(c)
+        if c == "srcIP":
+            ordered.append("srcIP_type")
+        elif c == "dstIP":
+            ordered.append("dstIP_type")
+    return df.select(*ordered)
+
+
+# Driver-local twins for unit tests (same contract as the reference's
+# pure functions; used to cross-check the expressions).
+
+def is_private_ip(ip: str | None) -> bool:
+    if not ip or ip.strip() == "":
+        return False
+    parts = ip.split(".")
+    if len(parts) != 4:
+        return False
+    try:
+        octets = [int(p) for p in parts]
+    except ValueError:
+        return False
+    if not all(0 <= o <= 255 for o in octets):
+        return False
+    return (
+        octets[0] == 10
+        or (octets[0] == 172 and 16 <= octets[1] <= 31)
+        or (octets[0] == 192 and octets[1] == 168)
+    )
+
+
+def classify_ip_address(ip: str | None) -> str:
+    if not ip or ip.strip() == "":
+        return ""
+    return "private" if is_private_ip(ip) else "global"

@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference is a single process with zero intra-job parallelism
+(SURVEY.md §4.2); every knob here exists to make the same dataflow scale
+linearly with executors: AQE (runtime coalesce + skew-join split), Arrow
+for the pandas-UDF parse stage, and a shuffle-partition count sized to the
+local core count (on a real cluster: 2-3x total executor cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "juniper-syslog-filter-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, else all
+    cores). On a real cluster you'd omit master and let spark-submit set
+    it; everything else carries over unchanged.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8
+        shuffle_partitions = max(8, n)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing + skew-join splitting — the
+        # north rule's skew handling rests on this plus explicit salting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow transfer for pandas UDFs (the parse stage) — batched
+        # columnar exchange instead of per-row pickling.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Broadcast threshold: dims (severity, devices) are tiny; keep the
+        # default 10 MB but make it explicit — large joins must shuffle,
+        # dims must not.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        # 128 MB scan splits: the sweet spot for parquet on object stores.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
