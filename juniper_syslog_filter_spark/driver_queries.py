@@ -1,0 +1,496 @@
+"""Driver-contract queries: one entry per implemented operator family
+(SURVEY.md §2), each over the driver-provided tables at ``sf_dir`` with a
+DuckDB oracle twin in :data:`ORACLE_SQL`.
+
+Engine-parity rules observed throughout:
+
+* every computed column is aliased identically in Spark and SQL;
+* float aggregates are rounded (the driver hashes values);
+* regex patterns use only ``\\d \\s \\w`` — identical semantics across
+  Java regex (Spark) and RE2 (DuckDB);
+* dot products fold left-to-right in both engines as doubles → the
+  sums are bit-identical.
+
+The ``m_*`` (message-pipeline) queries synthesize the reference's syslog
+message grammar deterministically from ``events`` with pure integer
+arithmetic, then run the full F1→F7 extract/classify chain — this is the
+reference pipeline expressed relationally, oracle-checked end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .datagen import load_table
+from .functions import parse as P
+from .functions.ip import classify_ip_expr
+
+# ---------------------------------------------------------------------------
+# Synthesized syslog message over events (shared Spark/SQL definition).
+# ---------------------------------------------------------------------------
+
+# severity mapping per event_type (the enrich dimension, inline).
+_SEV_CASES = [
+    ("error", "CRITICAL", 2),
+    ("purchase", "WARNING", 4),
+    ("signup", "INFO", 6),
+    ("click", "NOTICE", 5),
+    ("view", "DEBUG", 7),
+]
+
+_MSG_SQL = """
+    CASE WHEN event_id % 97 = 0
+         THEN event_type || '_EVENT: heartbeat keepalive'
+         ELSE event_type || '_EVENT: observed ' ||
+              CASE event_id % 3
+                WHEN 0 THEN '10.' || (user_id % 256)::VARCHAR || '.' || (event_id % 256)::VARCHAR || '.' || (event_id % 254 + 1)::VARCHAR
+                WHEN 1 THEN '172.' || (16 + user_id % 16)::VARCHAR || '.0.' || (event_id % 254 + 1)::VARCHAR
+                ELSE '192.168.' || (user_id % 256)::VARCHAR || '.' || (event_id % 254 + 1)::VARCHAR
+              END || '/' || (1024 + event_id % 60000)::VARCHAR || ' > ' ||
+              CASE WHEN event_id % 5 < 2
+                THEN '10.' || (event_id % 200)::VARCHAR || '.7.' || (user_id % 254 + 1)::VARCHAR
+                ELSE '203.0.' || (user_id % 256)::VARCHAR || '.' || (event_id % 254 + 1)::VARCHAR
+              END || '/' ||
+              CASE event_id % 4 WHEN 0 THEN '22' WHEN 1 THEN '80' WHEN 2 THEN '443' ELSE '8080' END ||
+              ' protocol=' || CASE event_id % 3 WHEN 0 THEN 'tcp' WHEN 1 THEN 'udp' ELSE 'icmp' END ||
+              ' SeverityLevel=' || CASE event_type WHEN 'error' THEN '2' WHEN 'purchase' THEN '4' WHEN 'signup' THEN '6' WHEN 'click' THEN '5' ELSE '7' END ||
+              ' Severity=' || CASE event_type WHEN 'error' THEN 'CRITICAL' WHEN 'purchase' THEN 'WARNING' WHEN 'signup' THEN 'INFO' WHEN 'click' THEN 'NOTICE' ELSE 'DEBUG' END
+    END
+"""
+
+
+def _msg_col() -> F.Column:
+    """Spark twin of :data:`_MSG_SQL` (column name contract: Message)."""
+    eid, uid, etype = F.col("event_id"), F.col("user_id"), F.col("event_type")
+
+    def s(c):
+        return c.cast("string")
+
+    src = (
+        F.when(eid % 3 == 0, F.concat(F.lit("10."), s(uid % 256), F.lit("."), s(eid % 256), F.lit("."), s(eid % 254 + 1)))
+        .when(eid % 3 == 1, F.concat(F.lit("172."), s(uid % 16 + 16), F.lit(".0."), s(eid % 254 + 1)))
+        .otherwise(F.concat(F.lit("192.168."), s(uid % 256), F.lit("."), s(eid % 254 + 1)))
+    )
+    dst = F.when(
+        eid % 5 < 2,
+        F.concat(F.lit("10."), s(eid % 200), F.lit(".7."), s(uid % 254 + 1)),
+    ).otherwise(F.concat(F.lit("203.0."), s(uid % 256), F.lit("."), s(eid % 254 + 1)))
+    dport = (
+        F.when(eid % 4 == 0, "22").when(eid % 4 == 1, "80").when(eid % 4 == 2, "443").otherwise("8080")
+    )
+    proto = F.when(eid % 3 == 0, "tcp").when(eid % 3 == 1, "udp").otherwise("icmp")
+    sev = F.when(etype == "error", "CRITICAL").when(etype == "purchase", "WARNING").when(etype == "signup", "INFO").when(etype == "click", "NOTICE").otherwise("DEBUG")
+    lvl = F.when(etype == "error", "2").when(etype == "purchase", "4").when(etype == "signup", "6").when(etype == "click", "5").otherwise("7")
+
+    full = F.concat(
+        etype, F.lit("_EVENT: observed "),
+        src, F.lit("/"), s(eid % 60000 + 1024),
+        F.lit(" > "), dst, F.lit("/"), dport,
+        F.lit(" protocol="), proto,
+        F.lit(" SeverityLevel="), lvl,
+        F.lit(" Severity="), sev,
+    )
+    return F.when(eid % 97 == 0, F.concat(etype, F.lit("_EVENT: heartbeat keepalive"))).otherwise(full)
+
+
+def _events_with_msg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").withColumn("Message", _msg_col())
+
+
+# ---------------------------------------------------------------------------
+# Queries.
+# ---------------------------------------------------------------------------
+
+def q_p1_filter_keyword(spark, sf_dir):
+    """P1 keyword filter (modules/filter_keyword.py): case-sensitive
+    literal contains over documents.text."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").contains("spark"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def q_p2_filter_severity(spark, sf_dir):
+    """P2 equality filter (modules/filter_critical.py) on events."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", F.round("value", 2).alias("value_r"))
+    )
+
+
+def q_p4_reduce_columns(spark, sf_dir):
+    """P4 positional projection (modules/reduce_columns.py) keep [0,1,3]."""
+    from .operators.project import reduce_columns
+
+    return reduce_columns(load_table(spark, sf_dir, "events"), [0, 1, 3])
+
+
+def q_f3_extract_regex(spark, sf_dir):
+    """F3-style regexp_extract (modules/extract_protocol.py:31 shape) over
+    the events JSON props column; no-match → ''."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).alias("k_str"),
+    )
+
+
+def q_m1_parse_classify(spark, sf_dir):
+    """Reference pipeline F1→F7 relationally over synthesized messages:
+    routing extract, IP split, private/global classify, protocol +
+    severity extracts — '' conventions throughout."""
+    df = _events_with_msg(spark, sf_dir)
+    msg = F.col("Message")
+    routing = P.extract_routing_expr(msg)
+    src, dst = P.split_ip_exprs(routing)
+    out = df.select(
+        "event_id",
+        routing.alias("routing"),
+        src.alias("srcIP"),
+        dst.alias("dstIP"),
+        P.extract_protocol_expr(msg).alias("protocol"),
+        P.extract_severity_level_expr(msg).alias("SeverityLevel"),
+        P.extract_severity_expr(msg).alias("Severity"),
+    )
+    return out.select(
+        "event_id", "routing", "srcIP",
+        classify_ip_expr(F.col("srcIP")).alias("srcIP_type"),
+        "dstIP",
+        classify_ip_expr(F.col("dstIP")).alias("dstIP_type"),
+        "protocol", "SeverityLevel", "Severity",
+    )
+
+
+def q_m2_critical_routed(spark, sf_dir):
+    """Phases 1-10 composed: keyword filter → parse → classify →
+    severity filter (the reference's canonical CLI path, run.py:42-433)."""
+    df = _events_with_msg(spark, sf_dir).filter(F.col("Message").contains("observed"))
+    msg = F.col("Message")
+    routing = P.extract_routing_expr(msg)
+    src, dst = P.split_ip_exprs(routing)
+    out = df.select(
+        "event_id",
+        routing.alias("routing"),
+        src.alias("srcIP"),
+        dst.alias("dstIP"),
+        P.extract_severity_expr(msg).alias("Severity"),
+    ).filter(F.col("Severity") == "CRITICAL")
+    return out.select(
+        "event_id", "routing",
+        classify_ip_expr(F.col("srcIP")).alias("srcIP_type"),
+        classify_ip_expr(F.col("dstIP")).alias("dstIP_type"),
+        "Severity",
+    )
+
+
+def q_m3_route_aggregate(spark, sf_dir):
+    """The north-rule aggregate: groupBy(severity, date).count() over the
+    parsed stream (per-sink count contract, SURVEY §2.5)."""
+    df = _events_with_msg(spark, sf_dir)
+    return (
+        df.select(
+            P.extract_severity_expr(F.col("Message")).alias("severity"),
+            F.to_date("ts").alias("date"),
+        )
+        .groupBy("severity", "date")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_j1_broadcast_enrich(spark, sf_dir):
+    """Broadcast lookup join (north rule enrich; SURVEY §2.6): inline
+    severity-class dimension joined to events."""
+    dim = spark.createDataFrame(
+        [(et, sev, lvl) for et, sev, lvl in _SEV_CASES],
+        "event_type string, severity string, severity_level int",
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.join(F.broadcast(dim), "event_type", "left")
+        .groupBy("severity", "severity_level")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_j2_orders_customer(spark, sf_dir):
+    """Shuffle join + aggregate (scale path: hash join on keys, AQE)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_a1_lineitem_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped partial+final hash aggregate over lineitem."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_u1_union_merge(spark, sf_dir):
+    """U1 UNION ALL + re-chunk (modules/merge_files.py): two filtered
+    subsets unioned then counted per user."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error")
+    b = ev.filter(F.col("event_type") == "purchase")
+    return (
+        a.unionByName(b)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_d1_dedup_exact(spark, sf_dir):
+    """Exact dedup via hash-groupBy: one keeper doc per distinct text."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("keeper_doc_id", "n_copies")
+
+
+def q_t1_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer) + char stats per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_m"),
+        F.round(F.length("text") / n_tokens, 4).alias("avg_token_len"),
+    )
+
+
+def q_t2_quality_score(spark, sf_dir):
+    """Quality scoring: stopword ratio + length band (training-data op)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: (t == "the") | (t == "a")))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        F.when(n_tokens < 20, "short").when(n_tokens < 60, "medium").otherwise("long").alias("len_band"),
+    )
+
+
+def q_t3_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 over text bytes (exact-dup key)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
+
+
+def q_s1_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline over embeddings vs the
+    vec_id=0 query vector; double-precision left-fold dot products match
+    DuckDB bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    emb = F.col("embedding").cast("array<double>")
+    qe = F.col("q_emb").cast("array<double>")
+    dot = F.aggregate(F.zip_with(emb, qe, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    sim = dot / (norm(emb) * norm(qe))
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "p1_filter_keyword": q_p1_filter_keyword,
+    "p2_filter_severity": q_p2_filter_severity,
+    "p4_reduce_columns": q_p4_reduce_columns,
+    "f3_extract_regex": q_f3_extract_regex,
+    "m1_parse_classify": q_m1_parse_classify,
+    "m2_critical_routed": q_m2_critical_routed,
+    "m3_route_aggregate": q_m3_route_aggregate,
+    "j1_broadcast_enrich": q_j1_broadcast_enrich,
+    "j2_orders_customer": q_j2_orders_customer,
+    "a1_lineitem_pricing": q_a1_lineitem_pricing,
+    "u1_union_merge": q_u1_union_merge,
+    "d1_dedup_exact": q_d1_dedup_exact,
+    "t1_token_stats": q_t1_token_stats,
+    "t2_quality_score": q_t2_quality_score,
+    "t3_fingerprint": q_t3_fingerprint,
+    "s1_cosine_topk": q_s1_cosine_topk,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL over the pre-registered views).
+# ---------------------------------------------------------------------------
+
+_CLASSIFY_SQL = """
+    CASE WHEN {ip} = '' THEN ''
+         WHEN TRY_CAST(string_split({ip}, '.')[1] AS INT) = 10
+           OR (TRY_CAST(string_split({ip}, '.')[1] AS INT) = 172
+               AND TRY_CAST(string_split({ip}, '.')[2] AS INT) BETWEEN 16 AND 31)
+           OR (TRY_CAST(string_split({ip}, '.')[1] AS INT) = 192
+               AND TRY_CAST(string_split({ip}, '.')[2] AS INT) = 168)
+         THEN 'private' ELSE 'global' END
+"""
+
+_ROUTING_RE = r"(\d+\.\d+\.\d+\.\d+)/\d+\s*>\s*(\d+\.\d+\.\d+\.\d+)/\d+"
+
+_M_BASE = f"""
+    SELECT event_id, ts, event_type,
+           {_MSG_SQL} AS Message
+    FROM events
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "p1_filter_keyword": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE contains(text, 'spark')
+    """,
+    "p2_filter_severity": """
+        SELECT event_id, user_id, round(value, 2) AS value_r
+        FROM events WHERE event_type = 'error'
+    """,
+    "p4_reduce_columns": "SELECT event_id, ts, event_type FROM events",
+    "f3_extract_regex": """
+        SELECT event_id, regexp_extract(props, '"k": (\\d+)', 1) AS k_str
+        FROM events
+    """,
+    "m1_parse_classify": f"""
+        WITH m AS ({_M_BASE}),
+        r AS (
+          SELECT event_id,
+                 regexp_extract(Message, '{_ROUTING_RE}', 1) AS srcIP,
+                 regexp_extract(Message, '{_ROUTING_RE}', 2) AS dstIP,
+                 regexp_extract(Message, 'protocol=(\\w+)', 1) AS protocol,
+                 regexp_extract(Message, 'SeverityLevel=(\\d+)', 1) AS SeverityLevel,
+                 regexp_extract(Message, 'Severity=(\\w+)', 1) AS Severity
+          FROM m
+        )
+        SELECT event_id,
+               CASE WHEN srcIP <> '' AND dstIP <> '' THEN srcIP || ' > ' || dstIP ELSE '' END AS routing,
+               srcIP,
+               {_CLASSIFY_SQL.format(ip='srcIP')} AS srcIP_type,
+               dstIP,
+               {_CLASSIFY_SQL.format(ip='dstIP')} AS dstIP_type,
+               protocol, SeverityLevel, Severity
+        FROM r
+    """,
+    "m2_critical_routed": f"""
+        WITH m AS ({_M_BASE}),
+        r AS (
+          SELECT event_id,
+                 regexp_extract(Message, '{_ROUTING_RE}', 1) AS srcIP,
+                 regexp_extract(Message, '{_ROUTING_RE}', 2) AS dstIP,
+                 regexp_extract(Message, 'Severity=(\\w+)', 1) AS Severity
+          FROM m WHERE contains(Message, 'observed')
+        )
+        SELECT event_id,
+               CASE WHEN srcIP <> '' AND dstIP <> '' THEN srcIP || ' > ' || dstIP ELSE '' END AS routing,
+               {_CLASSIFY_SQL.format(ip='srcIP')} AS srcIP_type,
+               {_CLASSIFY_SQL.format(ip='dstIP')} AS dstIP_type,
+               Severity
+        FROM r WHERE Severity = 'CRITICAL'
+    """,
+    "m3_route_aggregate": f"""
+        WITH m AS ({_M_BASE})
+        SELECT regexp_extract(Message, 'Severity=(\\w+)', 1) AS severity,
+               CAST(ts AS DATE) AS date,
+               count(*) AS n
+        FROM m GROUP BY 1, 2
+    """,
+    "j1_broadcast_enrich": """
+        SELECT d.severity, d.severity_level, count(*) AS n,
+               round(sum(e.value), 2) AS total_value
+        FROM events e
+        LEFT JOIN (VALUES
+            ('error', 'CRITICAL', 2),
+            ('purchase', 'WARNING', 4),
+            ('signup', 'INFO', 6),
+            ('click', 'NOTICE', 5),
+            ('view', 'DEBUG', 7)
+        ) AS d(event_type, severity, severity_level)
+          ON e.event_type = d.event_type
+        GROUP BY 1, 2
+    """,
+    "j2_orders_customer": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    """,
+    "a1_lineitem_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY 1, 2
+    """,
+    "u1_union_merge": """
+        SELECT user_id, count(*) AS n FROM (
+            SELECT * FROM events WHERE event_type = 'error'
+            UNION ALL
+            SELECT * FROM events WHERE event_type = 'purchase'
+        ) GROUP BY 1
+    """,
+    "d1_dedup_exact": """
+        SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+        FROM documents GROUP BY text
+    """,
+    "t1_token_stats": """
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars_m,
+               round(length(text) / len(string_split(text, ' ')), 4) AS avg_token_len
+        FROM documents
+    """,
+    "t2_quality_score": """
+        SELECT doc_id, lang,
+               round(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a'))
+                     / len(string_split(text, ' ')), 4) AS stopword_ratio,
+               CASE WHEN len(string_split(text, ' ')) < 20 THEN 'short'
+                    WHEN len(string_split(text, ' ')) < 60 THEN 'medium'
+                    ELSE 'long' END AS len_band
+        FROM documents
+    """,
+    "t3_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "s1_cosine_topk": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
+        sims AS (
+          SELECT e.vec_id, e.label,
+                 round(
+                   list_dot_product(e.embedding::DOUBLE[], q.q_emb)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.q_emb, q.q_emb))), 6) AS cos_sim
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> 0
+        )
+        SELECT vec_id, label, cos_sim FROM sims
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+    """,
+}

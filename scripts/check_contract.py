@@ -1,0 +1,92 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB at
+the same sf, compare row count, column names, and order-insensitive
+values. Usage: python scripts/check_contract.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
+    """Sort columns by name, then rows — order-insensitive compare."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm_val(v):
+        if isinstance(v, float):
+            return round(v, 6)
+        return v
+
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main(sf_dir: str) -> int:
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from juniper_syslog_filter_spark.session import build_session
+
+    spark = build_session(app_name="contract-check", master="local[8]", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"  {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            continue
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        ok_cols = sorted(scols) == sorted(dcols)
+        ok_count = len(srows) == len(drows)
+        ok_vals = False
+        if ok_cols and ok_count:
+            ok_vals = normalize(srows, scols) == normalize(drows, dcols)
+        status = "OK" if (ok_cols and ok_count and ok_vals) else "FAIL"
+        print(
+            f"  {name}: {status} rows={len(srows)}/{len(drows)} "
+            f"cols={'=' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'} "
+            f"vals={'=' if ok_vals else 'MISMATCH'} [{time.time()-t0:.1f}s]"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            if ok_cols and ok_count:
+                a = normalize(srows, scols)
+                b = normalize(drows, dcols)
+                for x, y in zip(a, b):
+                    if x != y:
+                        print(f"    first diff:\n      spark={x}\n      duck ={y}")
+                        break
+
+    # entry() smoke
+    n = entry_mod.entry(spark).count()
+    print(f"  entry(): {n} rows")
+    if n < 0:
+        failures.append("entry")
+
+    spark.stop()
+    if failures:
+        print(f"FAILURES: {failures}")
+        return 1
+    print("ALL OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
