@@ -1,0 +1,114 @@
+"""Benchmark harness (driver contract).
+
+Runs every driver-contract query at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` (default 32)
+and the north-rule parse→enrich→route→aggregate pipeline over a
+deterministic generated pages table, then prints ONE JSON line::
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: ``pipeline_pages_per_sec`` (the headline north-rule
+throughput) and ``pages_rows``.
+
+Query timing uses the ``noop`` sink — full execution of the physical
+plan, zero driver-side collection cost — so the number is engine time,
+not pickling time. Each query runs once (cold); the session itself is
+warmed with one trivial job first so JVM startup isn't billed to q1.
+
+Scaling-efficiency evidence (two parallelism levels, fresh JVM each) is
+a separate harness: ``python scripts/bench_scaling.py`` → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from juniper_syslog_filter_spark.session import build_session  # noqa: E402
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+# Rows for the generated pages table, scaled to match the sf dir
+# (sf0.1 → 300k pages; parse selectivity ~0.9 → ~270k records).
+PAGES_PER_SF = 3_000_000
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+
+    spark = build_session(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(8, cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm-up: JVM codegen + Python worker pool spin-up.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    from juniper_syslog_filter_spark.driver_queries import QUERIES
+
+    timings: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        run_noop(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # North-rule pipeline over generated pages (generation not billed).
+    from juniper_syslog_filter_spark.datagen import write_pages
+    from juniper_syslog_filter_spark.pipeline import run_pipeline
+
+    n_pages = max(10_000, int(PAGES_PER_SF * sf))
+    tmp = tempfile.mkdtemp(prefix="bench_pages_")
+    pages_path = os.path.join(tmp, "pages")
+    out_dir = os.path.join(tmp, "out")
+    try:
+        write_pages(spark, pages_path, n_pages, num_partitions=max(8, cpus))
+        t0 = time.time()
+        res = run_pipeline(
+            spark, pages_path, out_dir,
+            keyword=None, severity_filter=None, incremental=False,
+        )
+        pipe_sec = time.time() - t0
+        timings["pipeline_e2e"] = round(pipe_sec, 3)
+        pages_per_sec = n_pages / pipe_sec
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "driver_queries_plus_pipeline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pipeline_pages_per_sec": round(pages_per_sec, 1),
+        "pages_rows": n_pages,
+        "rows_routed": res.rows_routed,
+        "cpus": cpus,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 
 from .datagen import load_table
 from .functions import parse as P
+from .functions import text as T
 from .functions.ip import classify_ip_expr
+from .operators import dedup as D
+from .operators import similarity as S
 
 # ---------------------------------------------------------------------------
 # Synthesized syslog message over events (shared Spark/SQL definition).
@@ -322,6 +325,125 @@ def q_s1_cosine_topk(spark, sf_dir):
     )
 
 
+def q_d2_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs over documents: char-8 shingles, 8
+    bands x 2 rows, bucket self-join, exact-Jaccard >= 0.5 verify."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        d, "doc_id", "text", threshold=0.5, n_bands=8, rows_per_band=2, k=8
+    )
+
+
+def q_d3_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprint per document (near-dup bucketing key)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", D.simhash(F.col("text"), 32).alias("simhash32"))
+
+
+def q_d4_ngram_jaccard(spark, sf_dir):
+    """Blocked pairwise word-2-gram Jaccard near-dup detection: block on
+    source, emit pairs with j >= 0.2."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", D.word_ngrams(F.col("text"), 2).alias("ng")
+    )
+    a = d.select(F.col("source").alias("_s"), F.col("doc_id").alias("id_a"), F.col("ng").alias("ng_a"))
+    b = d.select(F.col("source").alias("_s"), F.col("doc_id").alias("id_b"), F.col("ng").alias("ng_b"))
+    return (
+        a.join(b, "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(D.jaccard(F.col("ng_a"), F.col("ng_b")), 6).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= 0.2)
+    )
+
+
+def q_s2_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs blocked by label (cos >= 0.4;
+    the synthetic embeddings top out at ~0.47 same-label cosine)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_pairs(e, "label", threshold=0.4)
+
+
+def q_s3_lsh_ann(spark, sf_dir):
+    """Hyperplane-LSH ANN: candidates share the query's 8-bit sign
+    bucket; exact cosine top-10 among them (scale path of s1)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return S.lsh_ann_topk(
+        e.filter(F.col("vec_id") != 0), q, k=10, n_planes=8
+    )
+
+
+def q_t4_lang_id(spark, sf_dir):
+    """Language-ID heuristic: per-language stopword votes, argmax."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", T.lang_id(F.col("text")).alias("pred_lang"))
+
+
+def q_t5_rolling_fp(spark, sf_dir):
+    """Rolling-hash (poly mod 1e9+7) document fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.rolling_hash(F.col("text")).alias("fp_roll"))
+
+
+def q_t6_bpe_tokens(spark, sf_dir):
+    """BPE-ish regex pre-tokenizer count (\\w+|[^\\w\\s])."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.bpe_token_count(F.col("text")).alias("n_bpe"))
+
+
+def q_w1_sessionize(spark, sf_dir):
+    """Window-function sessionization: 30-min-gap sessions per user over
+    events; returns per-user session counts."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ → cast via timestamp to epoch seconds (session
+    # TZ is UTC, so this equals DuckDB's epoch(ts)).
+    secs = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(secs).over(w)
+    new_sess = F.when(prev.isNull() | ((secs - prev) > 1800), 1).otherwise(0)
+    return (
+        ev.select("user_id", new_sess.alias("ns"))
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"))
+    )
+
+
+def q_w2_topk_per_group(spark, sf_dir):
+    """Top-3 orders by price per market segment (row_number window)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+def q_mm1_media_meta(spark, sf_dir):
+    """Multimodal plumbing: documents.text treated as an opaque binary
+    media column; metadata (byte length, md5) extracted batch-wise in an
+    Arrow-vectorized mapInPandas (operators/multimodal.py)."""
+    from .operators.multimodal import media_metadata
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    return media_metadata(d, id_col="doc_id", content_col="content")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_filter_keyword": q_p1_filter_keyword,
     "p2_filter_severity": q_p2_filter_severity,
@@ -339,6 +461,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t2_quality_score": q_t2_quality_score,
     "t3_fingerprint": q_t3_fingerprint,
     "s1_cosine_topk": q_s1_cosine_topk,
+    "d2_minhash_lsh": q_d2_minhash_lsh,
+    "d3_simhash": q_d3_simhash,
+    "d4_ngram_jaccard": q_d4_ngram_jaccard,
+    "s2_embed_neardup": q_s2_embed_neardup,
+    "s3_lsh_ann": q_s3_lsh_ann,
+    "t4_lang_id": q_t4_lang_id,
+    "t5_rolling_fp": q_t5_rolling_fp,
+    "t6_bpe_tokens": q_t6_bpe_tokens,
+    "w1_sessionize": q_w1_sessionize,
+    "w2_topk_per_group": q_w2_topk_per_group,
+    "mm1_media_meta": q_mm1_media_meta,
 }
 
 
@@ -479,6 +612,101 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
     """,
     "t3_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "d2_minhash_lsh": f"""
+        WITH sh AS (
+          SELECT doc_id, {D.char_shingles_sql('text', 8)} AS sh FROM documents
+        ),
+        buckets AS (
+          {" UNION ALL ".join(
+              f"SELECT doc_id, {b} AS band, " + D.band_bucket_sql('sh', b, 2) + " AS bucket FROM sh"
+              for b in range(8)
+          )}
+        ),
+        ok_buckets AS (
+          SELECT band, bucket FROM buckets GROUP BY 1, 2
+          HAVING count(*) <= 1000
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM buckets a
+          JOIN ok_buckets ob ON a.band = ob.band AND a.bucket = ob.bucket
+          JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id
+        )
+        SELECT c.id_a, c.id_b,
+               round({D.jaccard_sql('sa.sh', 'sb.sh')}, 6) AS jacc
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+        WHERE round({D.jaccard_sql('sa.sh', 'sb.sh')}, 6) >= 0.5
+    """,
+    "d3_simhash": f"""
+        SELECT doc_id, {D.simhash_sql('text', 32)} AS simhash32 FROM documents
+    """,
+    "d4_ngram_jaccard": f"""
+        WITH ng AS (
+          SELECT source, doc_id, {D.word_ngrams_sql('text', 2)} AS ng FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round({D.jaccard_sql('a.ng', 'b.ng')}, 6) AS jacc
+        FROM ng a JOIN ng b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE round({D.jaccard_sql('a.ng', 'b.ng')}, 6) >= 0.2
+    """,
+    "s2_embed_neardup": f"""
+        SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+               round({S.cosine_sql('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round({S.cosine_sql('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')}, 6) >= 0.4
+    """,
+    "s3_lsh_ann": f"""
+        WITH q AS (
+          SELECT embedding AS q_emb, {S.lsh_bucket_sql('embedding', 8)} AS qb
+          FROM embeddings WHERE vec_id = 0
+        ),
+        cand AS (
+          SELECT e.vec_id, e.embedding, q.q_emb
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> 0 AND {S.lsh_bucket_sql('e.embedding', 8)} = q.qb
+        )
+        SELECT vec_id,
+               round({S.cosine_sql('embedding::DOUBLE[]', 'q_emb::DOUBLE[]')}, 6) AS cos_sim
+        FROM cand
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+    "t4_lang_id": f"""
+        SELECT doc_id, lang, {T.lang_id_sql('text')} AS pred_lang FROM documents
+    """,
+    "t5_rolling_fp": f"""
+        SELECT doc_id, {T.rolling_hash_sql('text')} AS fp_roll FROM documents
+    """,
+    "t6_bpe_tokens": f"""
+        SELECT doc_id, {T.bpe_token_count_sql('text')} AS n_bpe FROM documents
+    """,
+    "w1_sessionize": """
+        WITH g AS (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+        )
+        SELECT user_id, sum(ns) AS n_sessions FROM g GROUP BY 1
+    """,
+    "w2_topk_per_group": """
+        WITH j AS (
+          SELECT c_mktsegment, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS price
+        FROM j WHERE rn <= 3
+    """,
+    "mm1_media_meta": """
+        SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS fp_md5
+        FROM documents
+    """,
     "s1_cosine_topk": """
         WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
         sims AS (

@@ -23,14 +23,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _octet(ip: Column, i: int) -> Column:
+    """i-th dot-separated part (1-based) as nullable int.
+
+    ``substring_index`` is a plain byte scan — no regex. Catalyst does
+    not share subtrees across a Project, so every building block here
+    must be regex-free: the previous ``split()``-based formulation
+    evaluated ~50 regex splits per row and was ~50x slower at 1M rows.
+    ``try_cast``: malformed → null (ANSI-safe), matching Python
+    ``int()``'s ValueError → False path in the reference; both trim
+    surrounding whitespace and accept leading zeros/signs.
+    """
+    return F.substring_index(F.substring_index(ip, ".", i), ".", -1).try_cast("int")
+
+
 def is_private_ip_expr(ip: Column) -> Column:
     """Boolean column: ip is a valid RFC-1918 private address."""
-    parts = F.split(ip, r"\.")
-    # try_cast: malformed → null (ANSI-safe), matching Python int()'s
-    # ValueError → False path in the reference.
-    octs = [parts.getItem(i).try_cast("int") for i in range(4)]
+    # Exactly 3 dots ⇔ 4 parts (translate deletes, no regex).
+    ndots = F.length(ip) - F.length(F.translate(ip, ".", ""))
+    octs = [_octet(ip, i) for i in range(1, 5)]
     in_range = reduce(and_, [o.isNotNull() & (o >= 0) & (o <= 255) for o in octs])
-    valid = (F.size(parts) == 4) & in_range
+    valid = (ndots == 3) & in_range
     private = (
         (octs[0] == 10)
         | ((octs[0] == 172) & (octs[1] >= 16) & (octs[1] <= 31))

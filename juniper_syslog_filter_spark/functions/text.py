@@ -1,0 +1,132 @@
+"""Text-analysis functions for training-data pipelines: language ID,
+document fingerprinting, tokenization. All expressions have exact DuckDB
+SQL twins (returned by the ``*_sql`` helpers) so the driver's oracle
+gate verifies values.
+
+Everything is JVM-side Catalyst (whole-stage codegen); no Python in the
+hot path. Regex patterns use only ``\\w \\s`` on ASCII — identical
+semantics across Java regex and RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Language ID — stopword-count heuristic.
+# ---------------------------------------------------------------------------
+
+# Deliberately small, disjoint-enough lists; priority order breaks ties.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "los", "y", "que", "es"],
+    "fr": ["le", "les", "et", "est", "une"],
+}
+_LANG_ORDER = ["en", "de", "es", "fr"]
+
+
+def lang_id(col: Column) -> Column:
+    """Predicted language: argmax of per-language stopword hit counts
+    over whitespace tokens; all-zero → 'und'. Ties resolve in the fixed
+    order en > de > es > fr (strictly-greater chain, deterministic)."""
+    toks = F.split(col, " ")
+
+    def in_set(words: list[str]):
+        # Single-arg lambda (a 2-arg one is F.filter's (element, index)
+        # form), words bound via closure.
+        wset = F.array(*[F.lit(w) for w in words])
+        return lambda t: F.array_contains(wset, t)
+
+    counts = {
+        lang: F.size(F.filter(toks, in_set(words)))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    for lang in reversed(_LANG_ORDER):
+        expr = F.when((counts[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_id_sql(expr: str) -> str:
+    """DuckDB twin of :func:`lang_id`."""
+    toks = f"string_split({expr}, ' ')"
+    cnt = {}
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        cnt[lang] = f"len(list_filter({toks}, t -> list_contains([{lst}], t)))"
+    best = f"greatest({', '.join(cnt.values())})"
+    sql = "'und'"
+    for lang in reversed(_LANG_ORDER):
+        sql = (
+            f"CASE WHEN {cnt[lang]} = {best} AND {best} > 0 "
+            f"THEN '{lang}' ELSE {sql} END"
+        )
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint.
+# ---------------------------------------------------------------------------
+
+_MOD = 1_000_000_007
+_BASE = 31
+
+
+def rolling_hash(col: Column) -> Column:
+    """Polynomial rolling hash over the character codes of ``col``:
+    ``h = fold(chars, 0, (acc, c) -> (acc*31 + ascii(c)) % 1e9+7)``.
+
+    acc < 1e9+7 and ascii < 256 keep every intermediate < 2^63 — no
+    overflow under ANSI mode, and both engines fold left-to-right over
+    the same character sequence → identical values.
+    """
+    codes = F.transform(
+        F.filter(F.split(col, ""), lambda c: c != ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * _BASE + c) % _MOD,
+    )
+
+
+def rolling_hash_sql(expr: str) -> str:
+    """DuckDB twin: list_reduce seeds from the first element, so prepend
+    an explicit 0 to match Spark's explicit zero accumulator."""
+    codes = (
+        f"list_transform(list_filter(string_split({expr}, ''), c -> c <> ''), "
+        f"c -> ascii(c)::BIGINT)"
+    )
+    return (
+        f"list_reduce(list_concat([0::BIGINT], {codes}), "
+        f"(acc, c) -> (acc * {_BASE} + c) % {_MOD})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenization.
+# ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer: word runs OR single non-space punctuation —
+# the GPT-2-style first split, minus unicode categories.
+BPE_SPLIT_PATTERN = r"\w+|[^\w\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of regex pre-tokens (``\\w+|[^\\w\\s]``)."""
+    # Group index 0 = whole match (the pattern has no capture groups);
+    # DuckDB's regexp_extract_all defaults to 0, Spark's to 1.
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_SPLIT_PATTERN), 0))
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '\\w+|[^\\w\\s]'))"
+
+
+def ws_token_count(col: Column) -> Column:
+    """Whitespace token count (the t1 driver query's tokenizer)."""
+    return F.size(F.split(col, " "))

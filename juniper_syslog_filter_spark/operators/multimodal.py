@@ -1,0 +1,137 @@
+"""Multimodal column handling: image/audio/video as opaque ``binary``
+columns with typed metadata, processed batch-wise through Arrow.
+
+The container has no codec libraries, so the DECODE step is stubbed
+(gated import → deterministic fake or NotImplementedError), but the
+Spark-side plumbing — schema, batch shape, partition sizing, UDF
+signatures — is real and tested:
+
+* ``media_metadata``      — content-addressed metadata (bytes, md5)
+* ``extract_features``    — fixed-width float feature vector per blob
+  (deterministic fake derived from the digest; swap ``_decode_image``
+  for a real decoder to get real features — the dataflow is identical)
+* ``sample_frames``       — 1-row → N-row expansion (video → frames),
+  the table-function shape frame sampling needs
+
+Scale notes (100 TB of media): blobs ride in parquet binary columns;
+``spark.sql.files.maxPartitionBytes`` bounds task input so one task
+never holds more than ~128 MB of blobs; mapInPandas streams
+Arrow batches (maxRecordsPerBatch caps peak Python memory). Feature
+extraction is embarrassingly parallel — zero shuffles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+try:  # pragma: no cover - the sandbox has no PIL; the gate is the point
+    import PIL.Image  # type: ignore  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+FEATURE_DIM = 8
+
+
+def _decode_image(blob: bytes):
+    """Real decoder slot. Without codec libs this is a stub — callers
+    that need pixels must go through :func:`_fake_feature` instead."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL; use the deterministic fake path"
+        )
+    raise NotImplementedError("wire PIL decode here when the lib exists")
+
+
+def _fake_feature(digest: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in feature vector: bytes of the md5 digest
+    scaled to [0, 1). Content-addressed → stable across runs/partitions."""
+    return [b / 256.0 for b in digest[:dim]]
+
+
+def media_metadata(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """(id, n_bytes, fp_md5) per blob — one Arrow-vectorized pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[content_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": blobs.map(lambda b: len(b) if b is not None else 0).astype("int64"),
+                    "fp_md5": blobs.map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else ""
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, schema=f"{id_col} long, n_bytes long, fp_md5 string")
+
+
+def extract_features(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """(id, feature: array<float>) — decode→featurize batch pipeline.
+
+    Uses the deterministic fake featurizer (no codecs in this sandbox);
+    the Arrow batch shape and schema are exactly what a real
+    CLIP/mel-spectrogram extractor would use.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_feature(hashlib.md5(b).digest()) if b is not None else [0.0] * FEATURE_DIM
+                for b in pdf[content_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "feature": feats})
+
+    return df.mapInPandas(run, schema=f"{id_col} long, feature array<float>")
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """1→N expansion: emit ``n_frames`` byte-slice 'frames' per blob
+    (stand-in for video frame sampling; same mapInPandas shape)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                if b is None or len(b) == 0:
+                    continue
+                step = max(1, len(b) // n_frames)
+                for k in range(min(n_frames, len(b))):
+                    ids.append(i)
+                    idxs.append(k)
+                    frames.append(bytes(b[k * step : k * step + step]))
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "frame": frames}
+            )
+
+    return df.mapInPandas(
+        run, schema=f"{id_col} long, frame_idx int, frame binary"
+    )
+
+
+__all__ = [
+    "FEATURE_DIM",
+    "HAVE_PIL",
+    "extract_features",
+    "media_metadata",
+    "sample_frames",
+]

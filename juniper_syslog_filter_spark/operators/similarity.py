@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, both engine-portable (DuckDB oracle twins):
+
+* **brute force** — exact cosine top-k against a broadcast query vector
+  (driver query ``s1``); the correctness baseline and the right answer
+  whenever the candidate set is already small.
+* **hyperplane LSH** — random-hyperplane sign buckets; only the query's
+  bucket is scanned. The hyperplanes are a fixed rational function of
+  (plane, dim) so both engines compute identical buckets — at real
+  scale you'd generate them once and broadcast, which changes nothing
+  structurally.
+
+Numeric portability: all arithmetic is double-precision left-to-right
+folds (``aggregate``/``zip_with`` ↔ ``list_reduce``/``list_zip``), which
+are bit-identical across Spark and DuckDB; comparisons happen on values
+rounded to 6 decimals with deterministic id tie-breaks.
+
+Scale notes (100 TB): cosine against one query is a narrow map + top-k
+(``orderBy().limit()`` → TakeOrderedAndProject — partial top-k per
+partition, no full sort). The LSH variant prunes the scan by the bucket
+predicate, which pushes down to parquet row-groups when the bucket is a
+stored column (materialize ``lsh_bucket`` at ingest for real workloads;
+computed on the fly here because the driver tables are read-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right double-precision dot product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB twin (list_dot_product folds left-to-right like aggregate)."""
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _plane_coef(p: int, d: Column) -> Column:
+    """Deterministic pseudo-random coefficient in [-0.5, 0.5) for
+    hyperplane ``p``, dimension ``d`` — pure integer arithmetic, exactly
+    reproducible in SQL."""
+    return ((p * 31 + d * 7) % 13).cast("double") / 13.0 - 0.5
+
+
+def _plane_coef_sql(p: int, d: str) -> str:
+    return f"((({p} * 31 + {d} * 7) % 13)::DOUBLE / 13.0 - 0.5)"
+
+
+def lsh_bucket(emb: Column, n_planes: int = 8) -> Column:
+    """Sign-bit bucket string, one char per hyperplane ('1' if the
+    projection is ≥ 0 else '0')."""
+    dim = F.size(emb)
+    bits = []
+
+    def coef_fn(p: int):
+        # Single-arg lambda: 2-arg lambdas are F.transform's
+        # (element, index) form and would rebind p to the index column.
+        return lambda d: _plane_coef(p, d)
+
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                emb.cast("array<double>"),
+                F.transform(F.sequence(F.lit(0), dim - 1), coef_fn(p)),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucket_sql(emb: str, n_planes: int = 8) -> str:
+    """DuckDB twin of :func:`lsh_bucket`."""
+    parts = []
+    for p in range(n_planes):
+        coefs = (
+            f"list_transform(range(0, len({emb})), d -> {_plane_coef_sql(p, 'd')})"
+        )
+        proj = f"list_dot_product({emb}::DOUBLE[], {coefs})"
+        parts.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return "(" + " || ".join(parts) + ")"
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_col: str = "q_emb",
+) -> DataFrame:
+    """Exact cosine top-k of ``embeddings`` against the single-row
+    broadcast ``query`` (column ``q_col``)."""
+    sim = cosine(F.col(emb_col).cast("array<double>"), F.col(q_col).cast("array<double>"))
+    return (
+        embeddings.crossJoin(F.broadcast(query))
+        .select(id_col, F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_col: str = "q_emb",
+) -> DataFrame:
+    """Approximate top-k: candidates = rows in the query's LSH bucket,
+    then exact cosine among them. Returns (id, cos_sim)."""
+    q = query.select(
+        F.col(q_col), lsh_bucket(F.col(q_col), n_planes).alias("_qb")
+    )
+    cand = (
+        embeddings.withColumn("_b", lsh_bucket(F.col(emb_col), n_planes))
+        .join(F.broadcast(q), F.col("_b") == F.col("_qb"))
+    )
+    sim = cosine(F.col(emb_col).cast("array<double>"), F.col(q_col).cast("array<double>"))
+    return (
+        cand.select(id_col, F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    block_col: str,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs within blocks: self-join on
+    ``block_col`` (id_a < id_b), cosine ≥ threshold. Blocking bounds the
+    pair count; at web scale the block key is an LSH bucket."""
+    a = embeddings.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(emb_col).alias("_ea"),
+    )
+    b = embeddings.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(emb_col).alias("_eb"),
+    )
+    sim = cosine(F.col("_ea").cast("array<double>"), F.col("_eb").cast("array<double>"))
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("_blk").alias(block_col),
+            "id_a",
+            "id_b",
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

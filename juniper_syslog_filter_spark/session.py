@@ -13,6 +13,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+_DRIVER_MEM = os.environ.get("SPARK_DRIVER_MEMORY", "24g")
+
 
 def build_session(
     app_name: str = "juniper-syslog-filter-spark",
@@ -32,6 +34,10 @@ def build_session(
     if shuffle_partitions is None:
         n = os.cpu_count() or 8
         shuffle_partitions = max(8, n)
+    # Resolve the heap BEFORE building conf: -Xms must equal -Xmx (see
+    # the extraJavaOptions comment below), so an extra_conf override of
+    # spark.driver.memory has to flow into both settings.
+    driver_mem = (extra_conf or {}).get("spark.driver.memory", _DRIVER_MEM)
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -52,7 +58,23 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         # 128 MB scan splits: the sweet spot for parquet on object stores.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Local mode: driver == executor == one JVM. Two measured
+        # pathologies at local[32] on this (VM) host, both fatal to
+        # scaling: (a) an 8g heap with 32 task threads GC-thrashes (2.6x
+        # SLOWDOWN going 8→32 cores at 1M rows); (b) first-touch page
+        # faults on lazy heap growth are host-assisted and brutally slow
+        # here (~8 s/GB) — 32 threads pile up at ~95% system time (a 1s
+        # job measured 22-32s). Fix: fixed-size heap (-Xms=-Xmx) +
+        # transparent huge pages — 2 MiB faults cut the host-exit count
+        # 512x (measured: 13s → 0.5-2.6s for the same job once warm;
+        # -XX:+AlwaysPreTouch would eliminate faults entirely but costs
+        # ~200s at startup on this host). On a real cluster this is
+        # spark.executor.memory + the same extraJavaOptions.
+        .config("spark.driver.memory", driver_mem)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{driver_mem} -XX:+UseTransparentHugePages",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

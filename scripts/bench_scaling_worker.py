@@ -1,0 +1,64 @@
+"""One scaling-bench trial: run the north-rule pipeline at a given core
+count in THIS process's fresh JVM and print a JSON result line.
+
+Usage: python scripts/bench_scaling_worker.py CPUS PAGES_PATH OUT_DIR [N_PAGES]
+
+Run via subprocess by scripts/bench_scaling.py so each parallelism level
+gets its own JVM (`local[N]` is fixed at session creation).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from juniper_syslog_filter_spark.pipeline import run_pipeline  # noqa: E402
+from juniper_syslog_filter_spark.session import build_session  # noqa: E402
+
+
+def main(cpus: int, pages_path: str, out_dir: str) -> int:
+    spark = build_session(
+        app_name=f"scaling-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(8, cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm-up (JVM JIT, codegen, Python worker pool, OS page cache): run
+    # the full pipeline once untimed, then measure the second run. Both
+    # parallelism levels get the identical treatment, so the ratio is
+    # fair and the fixed spin-up cost doesn't bias against the 4N run.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    t0 = time.time()
+    run_pipeline(
+        spark, pages_path, out_dir + "_warmup",
+        keyword=None, severity_filter=None, incremental=False,
+    )
+    warmup = time.time() - t0
+
+    # Two timed runs, report the min: the host shows multi-second
+    # exogenous stalls (shared VM); min-of-N is the standard estimator
+    # for the machine's actual capability at each parallelism level.
+    walls = []
+    for i in range(2):
+        t0 = time.time()
+        res = run_pipeline(
+            spark, pages_path, f"{out_dir}_r{i}",
+            keyword=None, severity_filter=None, incremental=False,
+        )
+        walls.append(time.time() - t0)
+    print(json.dumps({
+        "cpus": cpus,
+        "wall_sec": round(min(walls), 3),
+        "walls": [round(w, 3) for w in walls],
+        "warmup_sec": round(warmup, 3),
+        "rows_routed": res.rows_routed,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(int(sys.argv[1]), sys.argv[2], sys.argv[3]))

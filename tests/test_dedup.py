@@ -1,0 +1,94 @@
+"""Dedup operator tests: MinHash/LSH banding behavior, SimHash
+stability, Jaccard correctness — small deterministic frames, with a
+driver-local oracle where the semantics allow."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from juniper_syslog_filter_spark.operators import dedup as D
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup of 1
+    (4, "completely different content about spark query engines at scale"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_exact_dup_same_shingles_same_buckets(spark, docs):
+    b = D.minhash_buckets(docs, "doc_id", "text", n_bands=4, rows_per_band=2)
+    rows = {(r.id, r.band): r.bucket for r in b.collect()}
+    for band in range(4):
+        assert rows[(1, band)] == rows[(2, band)]
+
+
+def test_lsh_finds_exact_and_near_dups(spark, docs):
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, n_bands=8, rows_per_band=1)
+    got = {(r.id_a, r.id_b): r.jacc for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0  # exact dup always survives
+    assert (1, 4) not in got and (2, 4) not in got  # unrelated doc never pairs
+
+
+def test_jaccard_matches_python_sets(spark, docs):
+    out = (
+        docs.alias("a")
+        .crossJoin(docs.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ia"),
+            F.col("b.doc_id").alias("ib"),
+            D.jaccard(
+                D.char_shingles(F.col("a.text"), 8), D.char_shingles(F.col("b.text"), 8)
+            ).alias("j"),
+        )
+        .collect()
+    )
+    texts = dict(DOCS)
+
+    def sh(t):
+        return {t[i : i + 8] for i in range(max(1, len(t) - 7))}
+
+    for r in out:
+        a, b = sh(texts[r.ia]), sh(texts[r.ib])
+        assert abs(r.j - len(a & b) / len(a | b)) < 1e-9
+
+
+def test_simhash_identical_for_dups_and_differs_for_unrelated(spark, docs):
+    out = {r.doc_id: r.sh for r in docs.select("doc_id", D.simhash(F.col("text"), 32).alias("sh")).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[4]
+    # near-dup should be close in hamming space
+    ham = bin(out[1] ^ out[3]).count("1")
+    assert ham <= 8, ham
+
+
+def test_hamming64(spark):
+    df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
+    assert df.select(D.hamming64(F.col("a"), F.col("b")).alias("h")).collect()[0].h == 2
+
+
+def test_max_bucket_caps_pathological_buckets(spark):
+    # 5 identical docs → one bucket of 5 → 10 pairs; cap at 1 kills all.
+    df = spark.createDataFrame([(i, "same text everywhere") for i in range(5)], "doc_id int, text string")
+    all_pairs = D.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.0, max_bucket=None)
+    assert all_pairs.count() == 10
+    capped = D.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.0, max_bucket=1)
+    assert capped.count() == 0
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    got = df.select(D.word_ngrams(F.col("t"), 2).alias("g")).collect()[0].g
+    assert sorted(got) == ["a b", "b c", "c d"]
+
+
+def test_exact_dedup_operator(spark, docs):
+    out = {r.keeper_doc_id: r.n_copies for r in D.exact_dedup(docs, ["text"], "doc_id").collect()}
+    assert out == {1: 2, 3: 1, 4: 1}

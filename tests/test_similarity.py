@@ -1,0 +1,87 @@
+"""Similarity-search tests: exact cosine vs numpy oracle, LSH bucket
+stability, ANN candidate semantics, blocked near-dup pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from juniper_syslog_filter_spark.operators import similarity as S
+
+N, DIM = 40, 16
+
+
+def _vecs():
+    # Deterministic pseudo-random embeddings (no RNG: arithmetic only).
+    out = []
+    for i in range(N):
+        v = [((i * 31 + d * 17) % 23 - 11) / 11.0 for d in range(DIM)]
+        out.append((i, [float(x) for x in v], i % 4))
+    return out
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(_vecs(), "vec_id int, embedding array<float>, label int")
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    got = S.brute_force_topk(emb.filter(F.col("vec_id") != 0), q, k=5).collect()
+
+    vecs = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v, _ in _vecs()}
+    qv = vecs[0]
+    sims = {
+        i: float(np.dot(v, qv) / (np.linalg.norm(v) * np.linalg.norm(qv)))
+        for i, v in vecs.items()
+        if i != 0
+    }
+    expect = sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:5]
+    assert [r.vec_id for r in got] == [i for i, _ in expect]
+    for r, (_, s) in zip(got, expect):
+        assert abs(r.cos_sim - round(s, 6)) <= 1e-6
+
+
+def test_lsh_bucket_deterministic_and_partitioning_independent(spark, emb):
+    b1 = {r.vec_id: r.b for r in emb.select("vec_id", S.lsh_bucket(F.col("embedding"), 8).alias("b")).collect()}
+    b2 = {
+        r.vec_id: r.b
+        for r in emb.repartition(7)
+        .select("vec_id", S.lsh_bucket(F.col("embedding"), 8).alias("b"))
+        .collect()
+    }
+    assert b1 == b2
+    assert all(len(v) == 8 and set(v) <= {"0", "1"} for v in b1.values())
+
+
+def test_lsh_ann_subset_of_brute_force_order(emb):
+    """ANN results are exact-cosine-ranked within the candidate bucket."""
+    rest = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    ann = S.lsh_ann_topk(rest, q, k=10, n_planes=4).collect()
+    assert len(ann) >= 1
+    sims = [r.cos_sim for r in ann]
+    assert sims == sorted(sims, reverse=True)
+    # every ANN hit shares the query's bucket
+    qb = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(S.lsh_bucket(F.col("embedding"), 4).alias("b"))
+        .collect()[0]
+        .b
+    )
+    bucket_of = {
+        r.vec_id: r.b
+        for r in emb.select("vec_id", S.lsh_bucket(F.col("embedding"), 4).alias("b")).collect()
+    }
+    for r in ann:
+        assert bucket_of[r.vec_id] == qb
+
+
+def test_cosine_neardup_blocked_pairs(emb):
+    pairs = S.cosine_neardup_pairs(emb, "label", threshold=0.99).collect()
+    labels = {i: lab for i, _, lab in _vecs()}
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert labels[r.id_a] == labels[r.id_b] == r.label
+        assert r.cos_sim >= 0.99

@@ -1,0 +1,52 @@
+"""Text-analysis function tests (lang-ID, rolling hash, BPE-ish token
+count) against driver-local Python oracles."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from juniper_syslog_filter_spark.functions import text as T
+
+
+def test_lang_id_votes(spark):
+    rows = [
+        (1, "the cat sat on a mat and the dog too"),
+        (2, "der hund und die katze und das haus"),
+        (3, "el perro y los gatos que es bueno"),
+        (4, "le chien et les chats est une idee"),
+        (5, "xyzzy plugh quux"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {r.id: r.l for r in df.select("id", T.lang_id(F.col("t")).alias("l")).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "und"}
+
+
+def test_lang_id_tie_breaks_by_priority(spark):
+    # 'y'∈es, 'et'∈fr → 1 vote each → tie → es wins (priority order).
+    df = spark.createDataFrame([(1, "y et")], "id int, t string")
+    assert df.select(T.lang_id(F.col("t")).alias("l")).collect()[0].l == "es"
+
+
+def test_rolling_hash_matches_python(spark):
+    texts = ["hello world", "a", "", "the quick brown fox"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, t string")
+    got = {r.id: r.h for r in df.select("id", T.rolling_hash(F.col("t")).alias("h")).collect()}
+
+    def py(t):
+        h = 0
+        for c in t:
+            h = (h * 31 + ord(c)) % 1_000_000_007
+        return h
+
+    for i, t in enumerate(texts):
+        assert got[i] == py(t), t
+
+
+def test_bpe_token_count_matches_re(spark):
+    texts = ["hello, world!", "a.b.c", "no punct here", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, t string")
+    got = {r.id: r.n for r in df.select("id", T.bpe_token_count(F.col("t")).alias("n")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == len(re.findall(r"\w+|[^\w\s]", t)), t
