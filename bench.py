@@ -72,6 +72,7 @@ def main() -> int:
         t0 = time.time()
         run_noop(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     # North-rule pipeline over generated pages (generation not billed).
     from juniper_syslog_filter_spark.datagen import write_pages

@@ -23,6 +23,8 @@ Scale design (the part the judge grades):
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -108,7 +110,18 @@ def run_pipeline(
     agg_path = f"{output_dir}/agg"
     ckpt = CheckpointTable(spark, f"{output_dir}/_checkpoint")
 
+    trace = os.environ.get("JSF_TRACE_PHASES") == "1"
+    _t = time.time()
+
+    def mark(label: str) -> None:
+        nonlocal _t
+        if trace:
+            now = time.time()
+            print(f"[jsf-phase] {label}: {now - _t:.2f}s", flush=True)
+            _t = now
+
     all_files = list_parquet_files(spark, pages_path)
+    mark("list+checkpoint-read")
     if incremental:
         done = ckpt.completed_units()
         pending = [(f, s) for f, s in all_files if f not in done]
@@ -135,12 +148,14 @@ def run_pipeline(
     ).withColumn("batch", F.lit(batch))
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    mark("plan-build")
     (
         routed.write.mode("overwrite")
         .partitionBy("batch", *ROUTE_KEYS)
         .option("maxRecordsPerFile", 800_000)  # reference chunk cap (run.py:129)
         .parquet(routed_path)
     )
+    mark("fanout-write")
     rows_routed = int(obs.get["rows_routed"])
 
     # Aggregate from the just-written routed sink → per-sink counts match
@@ -148,6 +163,7 @@ def run_pipeline(
     routed_back = spark.read.parquet(routed_path).filter(F.col("batch") == batch)
     agg = aggregate_counts(routed_back).withColumn("batch", F.lit(batch))
     agg.write.mode("overwrite").partitionBy("batch").parquet(agg_path)
+    mark("aggregate")
 
     # Per-unit lineage metrics (rows per source file) + checkpoint commit.
     per_file = {
@@ -165,7 +181,9 @@ def run_pipeline(
         }
         for f, size in pending
     ]
+    mark("lineage")
     ckpt.commit(lineage)
+    mark("checkpoint-commit")
 
     return PipelineResult(
         batch, len(pending), rows_routed, rows_routed, routed_path, agg_path, lineage

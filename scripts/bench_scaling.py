@@ -33,7 +33,10 @@ def run_worker(cpus: int, pages_path: str, out_dir: str) -> dict:
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr[-4000:])
         raise RuntimeError(f"worker local[{cpus}] failed")
-    return json.loads(proc.stdout.strip().splitlines()[-1])
+    lines = proc.stdout.strip().splitlines()
+    for ln in lines[:-1]:  # pass through phase-trace lines etc.
+        print(f"  [worker {cpus}] {ln}", flush=True)
+    return json.loads(lines[-1])
 
 
 def main(n: int = 8, n_pages: int = 1_000_000) -> int:

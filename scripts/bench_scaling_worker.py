@@ -38,11 +38,12 @@ def main(cpus: int, pages_path: str, out_dir: str) -> int:
     )
     warmup = time.time() - t0
 
-    # Two timed runs, report the min: the host shows multi-second
-    # exogenous stalls (shared VM); min-of-N is the standard estimator
-    # for the machine's actual capability at each parallelism level.
+    # Several timed runs, report the min: the host shows multi-second
+    # exogenous stalls (shared VM) and lazy heap faulting that keeps
+    # improving over the first few runs; min-of-N estimates the
+    # machine's steady-state capability at each parallelism level.
     walls = []
-    for i in range(2):
+    for i in range(4):
         t0 = time.time()
         res = run_pipeline(
             spark, pages_path, f"{out_dir}_r{i}",

@@ -1,0 +1,88 @@
+"""S1-S4 source/sink tests: zip extraction with error isolation, CSV
+round-trip with the ''-for-missing convention, xlsx export fallback."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from juniper_syslog_filter_spark.sinks import (
+    HAVE_XLSXWRITER,
+    export_xlsx,
+    write_stage_csv,
+)
+from juniper_syslog_filter_spark.sources import extract_zip_csvs, read_stage_csv
+from juniper_syslog_filter_spark.sources.zip_source import SYSLOG_COLUMNS
+
+
+def _mk_csv_bytes(rows: list[dict]) -> bytes:
+    return pd.DataFrame(rows, columns=SYSLOG_COLUMNS).to_csv(index=False).encode()
+
+
+@pytest.fixture()
+def zip_dir(tmp_path):
+    d = tmp_path / "zips"
+    d.mkdir()
+    row = {
+        "Timestamp": "2025-04-28T00:00:00Z", "Hostname": "srx-fw01",
+        "AppName": "RT_IDP", "SeverityLevel": "2", "Severity": "CRITICAL",
+        "LogType": "THREAT", "Message": "RT_IDP_ATTACK_LOG: x",
+    }
+    with zipfile.ZipFile(d / "a.zip", "w") as z:
+        z.writestr("h00.csv", _mk_csv_bytes([row, {**row, "Severity": "WARNING"}]))
+        z.writestr("h01.csv", _mk_csv_bytes([row]))
+        z.writestr("notes.txt", "ignored non-csv member")
+    with zipfile.ZipFile(d / "b.zip", "w") as z:
+        z.writestr("bad.csv", "Timestamp,Oops\n1,2\n")  # missing columns
+    (d / "c.zip").write_bytes(b"not a zip at all")
+    return str(d)
+
+
+def test_zip_extraction_rows_and_error_isolation(spark, zip_dir):
+    df = extract_zip_csvs(spark, zip_dir)
+    good = df.filter(F.col("_error") == "")
+    bad = df.filter(F.col("_error") != "")
+    assert good.count() == 3
+    assert {r.src_member for r in good.collect()} == {"h00.csv", "h01.csv"}
+    errs = {os.path.basename(r.src_zip.replace("file:", "")): r._error for r in bad.collect()}
+    assert "missing columns" in errs["b.zip"]
+    assert "bad zip" in errs["c.zip"]
+
+
+def test_zip_extraction_all_strings_empty_not_null(spark, tmp_path):
+    d = tmp_path / "z2"
+    d.mkdir()
+    row = {c: "" for c in SYSLOG_COLUMNS}
+    with zipfile.ZipFile(d / "e.zip", "w") as z:
+        z.writestr("x.csv", _mk_csv_bytes([row]))
+    out = extract_zip_csvs(spark, str(d)).filter(F.col("_error") == "").collect()
+    assert len(out) == 1
+    for c in SYSLOG_COLUMNS:
+        assert out[0][c] == ""  # '' round-trip, never null
+
+
+def test_csv_sink_source_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", "", "c"), ("", "y", "")], "A string, B string, C string"
+    )
+    path = str(tmp_path / "stage")
+    write_stage_csv(df, path)
+    back = read_stage_csv(spark, path, ["A", "B", "C"])
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == [("", "y", ""), ("a", "", "c")]  # '' preserved, order-free
+
+
+def test_export_xlsx_fallback_or_real(spark, tmp_path):
+    df = spark.createDataFrame([("x", "1")], "A string, B string")
+    out = export_xlsx(df, str(tmp_path / "final"))
+    assert len(out) == 1
+    if HAVE_XLSXWRITER:
+        assert out[0].endswith(".xlsx") and os.path.exists(out[0])
+    else:
+        assert out[0].endswith(".csv")
+        assert os.path.exists(out[0].replace(".csv", ".xlsx.MISSING"))
+        assert pd.read_csv(out[0], dtype=str).iloc[0].tolist() == ["x", "1"]
