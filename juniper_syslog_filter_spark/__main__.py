@@ -41,6 +41,28 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--files-per-sink", type=int, default=4)
     r.add_argument("--full", action="store_true", help="ignore checkpoint; reprocess everything")
 
+    from .stages import STAGES
+
+    s = sub.add_parser(
+        "stage",
+        help="run ONE reference module standalone over a CSV stage dir "
+        "(per-module main() parity, e.g. modules/extract_routing.py:131-167)",
+    )
+    s.add_argument("name", choices=sorted(STAGES))
+    s.add_argument("--in", dest="input", required=True, help="input stage dir (header CSV)")
+    s.add_argument("--out", required=True, help="output stage dir (header CSV, ''-for-null)")
+    s.add_argument("--keyword", default="RT_IDP_ATTACK")
+    s.add_argument("--severity", default="CRITICAL")
+    s.add_argument("--keep", default="0,1,2,6", help="reduce-columns positional keep list")
+
+    z = sub.add_parser("extract", help="S1/S2: ZIP-of-CSVs dir → CSV stage dir")
+    z.add_argument("--in", dest="input", required=True, help="dir of *.zip")
+    z.add_argument("--out", required=True)
+
+    x = sub.add_parser("export-xlsx", help="S4: final stage dir → styled xlsx chunks")
+    x.add_argument("--in", dest="input", required=True)
+    x.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
 
     from .session import build_session
@@ -59,6 +81,36 @@ def main(argv: list[str] | None = None) -> int:
             num_partitions=args.partitions,
         )
         print(json.dumps({"cmd": "gen", "rows": args.rows, "out": args.out, "sec": round(time.time() - t0, 2)}))
+    elif args.cmd == "stage":
+        from .sinks import write_stage_csv
+        from .sources.csv_source import read_stage_csv_auto
+
+        df = read_stage_csv_auto(spark, args.input)
+        fn = STAGES[args.name]
+        kwargs = {}
+        if args.name == "filter-keyword":
+            kwargs["keyword"] = args.keyword
+        elif args.name == "filter-severity":
+            kwargs["severity"] = args.severity
+        elif args.name == "reduce-columns":
+            kwargs["keep"] = args.keep
+        out = fn(df, **kwargs)
+        write_stage_csv(out, args.out)
+        print(json.dumps({"cmd": "stage", "stage": args.name, "out": args.out,
+                          "sec": round(time.time() - t0, 2)}))
+    elif args.cmd == "extract":
+        from .sinks import write_stage_csv
+        from .sources.zip_source import extract_zip_csvs
+
+        out = extract_zip_csvs(spark, args.input)
+        write_stage_csv(out.filter(out["_error"] == "").drop("src_zip", "src_member", "_error"), args.out)
+        print(json.dumps({"cmd": "extract", "out": args.out, "sec": round(time.time() - t0, 2)}))
+    elif args.cmd == "export-xlsx":
+        from .sinks import export_xlsx
+        from .sources.csv_source import read_stage_csv_auto
+
+        written = export_xlsx(read_stage_csv_auto(spark, args.input), args.out)
+        print(json.dumps({"cmd": "export-xlsx", "files": written, "sec": round(time.time() - t0, 2)}))
     else:
         from .pipeline import run_pipeline
 

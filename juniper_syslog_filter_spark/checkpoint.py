@@ -94,7 +94,15 @@ class CheckpointTable:
                 "committed_at": pa.array(cols["committed_at"], pa.timestamp("us", tz="UTC")),
             }
         )
-        pq.write_table(table, os.path.join(local, f"commit-{uuid.uuid4().hex}.parquet"))
+        # Write-temp + rename: the commit must be atomically present or
+        # absent (the resume protocol's only invariant). A direct write
+        # interrupted mid-flight would leave a truncated commit-*.parquet
+        # that poisons every later read_log(). The dot-prefixed temp name
+        # is also invisible to Spark/pyarrow directory listings.
+        final = os.path.join(local, f"commit-{uuid.uuid4().hex}.parquet")
+        tmp = os.path.join(local, f".{os.path.basename(final)}.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, final)  # atomic on POSIX
 
 
 def batch_id_for(units: list[str]) -> str:

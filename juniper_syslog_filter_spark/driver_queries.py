@@ -126,6 +126,18 @@ def q_p2_filter_severity(spark, sf_dir):
     )
 
 
+def q_p3_filter_merge(spark, sf_dir):
+    """P3 filter_and_merge (modules/filter_critical_and_merge.py:30-127):
+    severity equality filter + merge to a single output partition (the
+    reference concatenates survivors into one CSV)."""
+    from .operators.filters import filter_and_merge_severity
+
+    df = _events_with_msg(spark, sf_dir).select(
+        "event_id", P.extract_severity_expr(F.col("Message")).alias("Severity")
+    )
+    return filter_and_merge_severity(df, "CRITICAL")
+
+
 def q_p4_reduce_columns(spark, sf_dir):
     """P4 positional projection (modules/reduce_columns.py) keep [0,1,3]."""
     from .operators.project import reduce_columns
@@ -341,29 +353,25 @@ def q_d3_simhash(spark, sf_dir):
 
 
 def q_d4_ngram_jaccard(spark, sf_dir):
-    """Blocked pairwise word-2-gram Jaccard near-dup detection: block on
-    source, emit pairs with j >= 0.2."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "source", "doc_id", D.word_ngrams(F.col("text"), 2).alias("ng")
+    """Word-2-gram Jaccard near-dup pairs, routed through the MinHash-
+    LSH candidate set (sub-quadratic: O(|candidates|) verify work, never
+    an all-pairs self-join) — pairs with j >= 0.2 among LSH candidates."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = D.lsh_candidate_pairs(
+        D.minhash_buckets(d, "doc_id", "text", n_bands=8, rows_per_band=2, k=8),
+        max_bucket=1000,
     )
-    a = d.select(F.col("source").alias("_s"), F.col("doc_id").alias("id_a"), F.col("ng").alias("ng_a"))
-    b = d.select(F.col("source").alias("_s"), F.col("doc_id").alias("id_b"), F.col("ng").alias("ng_b"))
-    return (
-        a.join(b, "_s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.round(D.jaccard(F.col("ng_a"), F.col("ng_b")), 6).alias("jacc"),
-        )
-        .filter(F.col("jacc") >= 0.2)
+    return D.verify_pairs_jaccard(
+        d, cand, "doc_id", "text", D.word_ngram_jaccard_udf(2), threshold=0.2
     )
 
 
 def q_s2_embed_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs blocked by label (cos >= 0.4;
-    the synthetic embeddings top out at ~0.47 same-label cosine)."""
+    """Embedding-cosine near-dup pairs blocked by the 4-plane LSH
+    bucket (cos >= 0.4; the synthetic embeddings top out at ~0.49) —
+    candidate count is sum of bucket-size squares, not n^2."""
     e = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_neardup_pairs(e, "label", threshold=0.4)
+    return S.lsh_blocked_neardup(e, threshold=0.4, n_planes=4)
 
 
 def q_s3_lsh_ann(spark, sf_dir):
@@ -401,11 +409,12 @@ def q_w1_sessionize(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts is TIMESTAMP_NTZ → cast via timestamp to epoch seconds (session
-    # TZ is UTC, so this equals DuckDB's epoch(ts)).
-    secs = F.col("ts").cast("timestamp").cast("long")
-    prev = F.lag(secs).over(w)
-    new_sess = F.when(prev.isNull() | ((secs - prev) > 1800), 1).otherwise(0)
+    # ts is TIMESTAMP_NTZ with microsecond precision → the gap test must
+    # run in MICROSECONDS on both sides (oracle: epoch_us). Whole-second
+    # truncation misclassifies gaps straddling the 1800 s boundary.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(micros).over(w)
+    new_sess = F.when(prev.isNull() | ((micros - prev) > 1800 * 1_000_000), 1).otherwise(0)
     return (
         ev.select("user_id", new_sess.alias("ns"))
         .groupBy("user_id")
@@ -432,6 +441,48 @@ def q_w2_topk_per_group(spark, sf_dir):
     )
 
 
+_NATION_COLS = ["n_nationkey", "n_name", "n_regionkey"]
+
+
+def _zip_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic ZIP-of-CSV fixture derived from the nation table
+    (25 rows) — the S1/S2 source format the reference consumes
+    (modules/extract.py:22-170). Content is a pure function of the
+    table, so the DuckDB twin reads the same rows from parquet."""
+    import hashlib
+    import os
+    import tempfile
+    import zipfile
+
+    rows = load_table(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    lines = [",".join(_NATION_COLS)] + [
+        f"{r.n_nationkey},{r.n_name},{r.n_regionkey}" for r in rows
+    ]
+    payload = ("\n".join(lines) + "\n").encode("utf-8")
+    digest = hashlib.sha1(payload).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"jsf_zipfix_{digest}")
+    zpath = os.path.join(d, "logs.zip")
+    if not os.path.exists(zpath):
+        os.makedirs(d, exist_ok=True)
+        tmp = f"{zpath}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            zf.writestr("nation.csv", payload)
+        os.replace(tmp, zpath)  # atomic: concurrent callers see all-or-nothing
+    return d
+
+
+def q_z1_zip_source(spark, sf_dir):
+    """S1/S2 ZIP source through the distributed binaryFile+mapInPandas
+    reader (sources/zip_source.py): all member fields read as strings
+    with the reference's ''-for-missing convention; src_zip is dropped
+    (it is a temp path) but src_member and the _error channel are kept."""
+    from .sources.zip_source import extract_zip_csvs
+
+    fixture = _zip_fixture_dir(spark, sf_dir)
+    out = extract_zip_csvs(spark, fixture, columns=_NATION_COLS)
+    return out.select(*_NATION_COLS, "src_member", "_error")
+
+
 def q_mm1_media_meta(spark, sf_dir):
     """Multimodal plumbing: documents.text treated as an opaque binary
     media column; metadata (byte length, md5) extracted batch-wise in an
@@ -447,7 +498,9 @@ def q_mm1_media_meta(spark, sf_dir):
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_filter_keyword": q_p1_filter_keyword,
     "p2_filter_severity": q_p2_filter_severity,
+    "p3_filter_merge": q_p3_filter_merge,
     "p4_reduce_columns": q_p4_reduce_columns,
+    "z1_zip_source": q_z1_zip_source,
     "f3_extract_regex": q_f3_extract_regex,
     "m1_parse_classify": q_m1_parse_classify,
     "m2_critical_routed": q_m2_critical_routed,
@@ -497,6 +550,32 @@ _M_BASE = f"""
     FROM events
 """
 
+# Shared MinHash-LSH candidate CTE (d2 + d4): char-8 shingles, 8 bands x
+# 2 rows, bucket cap 1000 — the SQL twin of operators/dedup.py
+# minhash_buckets → lsh_candidate_pairs.
+_LSH_CAND_CTE = f"""
+    WITH sh AS (
+      SELECT doc_id, {D.char_shingles_sql('text', 8)} AS sh FROM documents
+    ),
+    buckets AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band, " + D.band_bucket_sql('sh', b, 2) + " AS bucket FROM sh"
+          for b in range(8)
+      )}
+    ),
+    ok_buckets AS (
+      SELECT band, bucket FROM buckets GROUP BY 1, 2
+      HAVING count(*) <= 1000
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a
+      JOIN ok_buckets ob ON a.band = ob.band AND a.bucket = ob.bucket
+      JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id
+    )
+"""
+
 ORACLE_SQL: dict[str, str] = {
     "p1_filter_keyword": """
         SELECT doc_id, lang, n_chars FROM documents
@@ -506,7 +585,21 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_id, user_id, round(value, 2) AS value_r
         FROM events WHERE event_type = 'error'
     """,
+    "p3_filter_merge": f"""
+        WITH m AS ({_M_BASE})
+        SELECT event_id, regexp_extract(Message, 'Severity=(\\w+)', 1) AS Severity
+        FROM m
+        WHERE regexp_extract(Message, 'Severity=(\\w+)', 1) = 'CRITICAL'
+    """,
     "p4_reduce_columns": "SELECT event_id, ts, event_type FROM events",
+    "z1_zip_source": """
+        SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+               n_name,
+               CAST(n_regionkey AS VARCHAR) AS n_regionkey,
+               'nation.csv' AS src_member,
+               '' AS _error
+        FROM nation
+    """,
     "f3_extract_regex": """
         SELECT event_id, regexp_extract(props, '"k": (\\d+)', 1) AS k_str
         FROM events
@@ -613,26 +706,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "t3_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
     "d2_minhash_lsh": f"""
-        WITH sh AS (
-          SELECT doc_id, {D.char_shingles_sql('text', 8)} AS sh FROM documents
-        ),
-        buckets AS (
-          {" UNION ALL ".join(
-              f"SELECT doc_id, {b} AS band, " + D.band_bucket_sql('sh', b, 2) + " AS bucket FROM sh"
-              for b in range(8)
-          )}
-        ),
-        ok_buckets AS (
-          SELECT band, bucket FROM buckets GROUP BY 1, 2
-          HAVING count(*) <= 1000
-        ),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM buckets a
-          JOIN ok_buckets ob ON a.band = ob.band AND a.bucket = ob.bucket
-          JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
-                        AND a.doc_id < b.doc_id
-        )
+        {_LSH_CAND_CTE}
         SELECT c.id_a, c.id_b,
                round({D.jaccard_sql('sa.sh', 'sb.sh')}, 6) AS jacc
         FROM cand c
@@ -644,19 +718,27 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, {D.simhash_sql('text', 32)} AS simhash32 FROM documents
     """,
     "d4_ngram_jaccard": f"""
-        WITH ng AS (
-          SELECT source, doc_id, {D.word_ngrams_sql('text', 2)} AS ng FROM documents
+        {_LSH_CAND_CTE},
+        ng AS (
+          SELECT doc_id, {D.word_ngrams_sql('text', 2)} AS ng FROM documents
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round({D.jaccard_sql('a.ng', 'b.ng')}, 6) AS jacc
-        FROM ng a JOIN ng b ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE round({D.jaccard_sql('a.ng', 'b.ng')}, 6) >= 0.2
+        SELECT c.id_a, c.id_b,
+               round({D.jaccard_sql('na.ng', 'nb.ng')}, 6) AS jacc
+        FROM cand c
+        JOIN ng na ON na.doc_id = c.id_a
+        JOIN ng nb ON nb.doc_id = c.id_b
+        WHERE round({D.jaccard_sql('na.ng', 'nb.ng')}, 6) >= 0.2
     """,
     "s2_embed_neardup": f"""
-        SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+        WITH e AS (
+          SELECT vec_id, embedding,
+                 {S.lsh_bucket_sql('embedding', 4)} AS lsh_bucket
+          FROM embeddings
+        )
+        SELECT a.lsh_bucket AS lsh_bucket, a.vec_id AS id_a, b.vec_id AS id_b,
                round({S.cosine_sql('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')}, 6) AS cos_sim
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM e a JOIN e b
+          ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
         WHERE round({S.cosine_sql('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')}, 6) >= 0.4
     """,
     "s3_lsh_ann": f"""
@@ -687,7 +769,8 @@ ORACLE_SQL: dict[str, str] = {
         WITH g AS (
           SELECT user_id,
                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                       OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                          > 1800 * 1000000
                       THEN 1 ELSE 0 END AS ns
           FROM events
         )

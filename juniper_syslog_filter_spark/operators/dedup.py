@@ -23,10 +23,26 @@ fan-out is bounded by bucket size — at web scale you additionally cap
 bucket width (drop buckets with > ~1k members as spam clusters, see
 ``lsh_candidate_pairs(max_bucket)``), which also bounds skew. AQE
 skew-join splitting stays on as backstop.
+
+Execution strategy: signature/fingerprint computation runs in ONE
+Arrow-batched ``mapInPandas``/``pandas_udf`` kernel per operator — the
+Spark higher-order-function (``transform``/``filter``/``aggregate``)
+equivalents are interpreted (no codegen) and Catalyst does not CSE the
+shingle subtree across the 16 band-row fields, which measured 979 s for
+5k docs at sf0.1 in round 1 (an O(bands×rows×shingles) interpreted blow-
+up). The vectorized kernels below compute the identical md5-based
+definitions (same hex values as the ``*_sql`` DuckDB twins) in a single
+pass over each Arrow batch. The expression builders are kept as the
+portable spec used by tests and oracle generation.
 """
 
 from __future__ import annotations
 
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -131,6 +147,13 @@ def band_bucket_sql(shingles: str, band: int, rows_per_band: int) -> str:
     return f"md5(concat_ws('|', {parts}))"
 
 
+def _py_char_shingles(text: str, k: int) -> set[str]:
+    """Python twin of :func:`char_shingles` (set form; order never
+    matters downstream — only min-hash and set sizes are consumed)."""
+    t = text or ""
+    return {t[i : i + k] for i in range(max(1, len(t) - k + 1))}
+
+
 def minhash_buckets(
     df: DataFrame,
     id_col: str,
@@ -139,16 +162,41 @@ def minhash_buckets(
     rows_per_band: int = 2,
     k: int = 8,
 ) -> DataFrame:
-    """(id, band, bucket) — one row per (doc, band). One narrow pass."""
-    sh = char_shingles(F.col(text_col), k)
-    bands = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), band_bucket(sh, b, rows_per_band).alias("bucket"))
-            for b in range(n_bands)
-        ]
-    )
-    return df.select(F.col(id_col).alias("id"), F.explode(bands).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    """(id, band, bucket) — one row per (doc, band). One narrow
+    Arrow-batched ``mapInPandas`` pass computing the full signature;
+    values are identical to :func:`band_bucket_sql` (md5 hex min over
+    seed-prefixed shingles, band bucket = md5 of '|'-joined row mins).
+
+    Hex-string min == digest-byte min (hex encoding is order-monotone),
+    so the kernel compares raw digests and hex-encodes only the winner.
+    """
+    id_type = dict(df.dtypes)[id_col]
+    seeds = [
+        [f"{b}:{r}:".encode("utf-8") for r in range(rows_per_band)]
+        for b in range(n_bands)
+    ]
+    md5 = hashlib.md5
+    bands_idx = list(range(n_bands))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id: list = []
+            out_band: list[int] = []
+            out_bucket: list[str] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                shingles = [s.encode("utf-8") for s in _py_char_shingles(text, k)]
+                for b in bands_idx:
+                    row_mins = [
+                        min(md5(seed + s).digest() for s in shingles).hex()
+                        for seed in seeds[b]
+                    ]
+                    out_bucket.append(md5("|".join(row_mins).encode("utf-8")).hexdigest())
+                out_id.extend([doc_id] * n_bands)
+                out_band.extend(bands_idx)
+            yield pd.DataFrame({"id": out_id, "band": out_band, "bucket": out_bucket})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"id {id_type}, band int, bucket string"
     )
 
 
@@ -183,6 +231,75 @@ def lsh_candidate_pairs(
     )
 
 
+def shingle_jaccard_udf(k: int = 8):
+    """Arrow-vectorized exact Jaccard of char-k shingle sets of two text
+    columns. Set math == ``jaccard(char_shingles(a), char_shingles(b))``
+    (and the :func:`jaccard_sql` twin) exactly: intersection/union of
+    distinct arrays are set sizes, and len_int/len_union is the same
+    double either way."""
+
+    def fn(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.empty(len(ta), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(ta, tb)):
+            sa = _py_char_shingles(a, k)
+            sb = _py_char_shingles(b, k)
+            out[i] = len(sa & sb) / len(sa | sb)
+        return pd.Series(out)
+
+    return F.pandas_udf(fn, "double")
+
+
+def _py_word_ngrams(text: str, n: int) -> set[str]:
+    """Python twin of :func:`word_ngrams` (set form). ``split(col, ' ')``
+    keeps empty tokens (Java ``split(re, -1)``), exactly like
+    ``str.split(' ')``."""
+    toks = (text or "").split(" ")
+    if n == 1:
+        return set(toks)
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def word_ngram_jaccard_udf(n: int = 2):
+    """Arrow-vectorized exact Jaccard of word n-gram sets (twin of
+    ``jaccard(word_ngrams(a), word_ngrams(b))`` / the SQL builders)."""
+
+    def fn(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.empty(len(ta), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(ta, tb)):
+            sa = _py_word_ngrams(a, n)
+            sb = _py_word_ngrams(b, n)
+            out[i] = len(sa & sb) / len(sa | sb)
+        return pd.Series(out)
+
+    return F.pandas_udf(fn, "double")
+
+
+def verify_pairs_jaccard(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    text_col: str,
+    jacc_udf,
+    threshold: float,
+) -> DataFrame:
+    """Attach both texts to candidate pairs and keep those with exact
+    Jaccard ≥ threshold. Two hash joins on id — sub-quadratic: cost is
+    O(|candidates|), never O(n²)."""
+    txt = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    return (
+        cand.join(txt.withColumnRenamed("id", "id_a").withColumnRenamed("t", "_ta"), "id_a")
+        .join(txt.withColumnRenamed("id", "id_b").withColumnRenamed("t", "_tb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jacc_udf(F.col("_ta"), F.col("_tb")), 6).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -195,26 +312,16 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
 
-    Returns (id_a, id_b, jacc) with jacc ≥ threshold. The verify join
-    re-attaches shingle arrays to both sides; at scale the shingle table
-    is the same narrow projection both times, so the scan is shared.
+    Returns (id_a, id_b, jacc) with jacc ≥ threshold. Verification
+    re-attaches the raw text to both sides and computes set Jaccard in
+    one vectorized kernel — O(|candidates|) work after the bucket join.
     """
     cand = lsh_candidate_pairs(
         minhash_buckets(df, id_col, text_col, n_bands, rows_per_band, k),
         max_bucket=max_bucket,
     )
-    sh = df.select(
-        F.col(id_col).alias("id"), char_shingles(F.col(text_col), k).alias("sh")
-    )
-    return (
-        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jacc"),
-        )
-        .filter(F.col("jacc") >= threshold)
+    return verify_pairs_jaccard(
+        df, cand, id_col, text_col, shingle_jaccard_udf(k), threshold
     )
 
 
@@ -232,13 +339,10 @@ def _spark_bit(tok: Column, j: int) -> Column:
     return F.shiftright(digit, j % 4).bitwiseAND(F.lit(1))
 
 
-def simhash(col: Column, bits: int = 32) -> Column:
-    """SimHash over whitespace tokens: bit j of the result is set iff
-    the majority of tokens have bit j of md5(token) set (ties → 0).
-
-    Majority-count formulation is order-independent — required for
-    cross-engine equality (token lists aren't reordered, but counts make
-    the computation associative regardless)."""
+def simhash_expr(col: Column, bits: int = 32) -> Column:
+    """Pure-expression SimHash (the portable spec; interpreted HOFs →
+    use :func:`simhash` for execution). Bit j of the result is set iff
+    the majority of tokens have bit j of md5(token) set (ties → 0)."""
     toks = F.split(col, " ")
     n = F.size(toks)
     out = F.lit(0).cast("long")
@@ -252,6 +356,42 @@ def simhash(col: Column, bits: int = 32) -> Column:
         cnt = F.size(F.filter(toks, bit_pred(j)))
         out = out + F.when(cnt * 2 > n, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def simhash(col: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens — vectorized pandas-UDF execution
+    of the :func:`simhash_expr` / :func:`simhash_sql` definition: bit j
+    is set iff the majority of tokens have bit j of md5(token) set
+    (ties → 0), where bit j reads hex digit j//4 (1-based), bit j%4.
+
+    Per token the kernel builds a ``bits``-wide pattern whose bit j
+    equals that definition: nibble value of hex digit i lands at bits
+    4i..4i+3, i.e. each digest byte contributes its high nibble first —
+    a nibble swap — in little-endian byte order. numpy then unpacks and
+    majority-votes all tokens of a document at once.
+    """
+    if bits % 8 != 0 or bits > 64:
+        raise ValueError("bits must be a multiple of 8, <= 64")
+    nbytes = bits // 8
+    md5 = hashlib.md5
+    shifts = np.arange(bits, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.int64 if bits < 64 else np.uint64)
+
+    def fn(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").split(" ")
+            buf = b"".join(md5(tok.encode("utf-8")).digest()[:nbytes] for tok in toks)
+            arr = np.frombuffer(buf, dtype=np.uint8).reshape(len(toks), nbytes)
+            swapped = ((arr >> 4) | ((arr & 15) << 4)).astype(np.uint64)
+            pattern = np.zeros(len(toks), dtype=np.uint64)
+            for b in range(nbytes):
+                pattern |= swapped[:, b] << np.uint64(8 * b)
+            cnt = ((pattern[:, None] >> shifts[None, :]) & np.uint64(1)).sum(axis=0)
+            out[i] = int((weights[(cnt * 2) > len(toks)]).sum())
+        return pd.Series(out)
+
+    return F.pandas_udf(fn, "long")(col)
 
 
 def simhash_sql(expr: str, bits: int = 32) -> str:

@@ -13,7 +13,29 @@ import os
 
 from pyspark.sql import SparkSession
 
-_DRIVER_MEM = os.environ.get("SPARK_DRIVER_MEMORY", "24g")
+
+def _default_driver_memory() -> str:
+    """Pick a heap that fits the host: half of MemAvailable, clamped to
+    [2g, 24g]. 24 g is the measured sweet spot on the 128 GiB bench VM
+    (see the extraJavaOptions comment below), but hard-coding it breaks
+    ``build_session()`` on any host with less RAM — -Xms pre-commits the
+    whole heap. $SPARK_DRIVER_MEMORY (read per call, not at import)
+    overrides."""
+    env = os.environ.get("SPARK_DRIVER_MEMORY")
+    if env:
+        return env
+    avail_gb = None
+    try:
+        with open("/proc/meminfo", encoding="ascii") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    break
+    except OSError:
+        pass
+    if avail_gb is None:
+        return "4g"
+    return f"{max(2, min(24, avail_gb // 2))}g"
 
 
 def build_session(
@@ -37,7 +59,7 @@ def build_session(
     # Resolve the heap BEFORE building conf: -Xms must equal -Xmx (see
     # the extraJavaOptions comment below), so an extra_conf override of
     # spark.driver.memory has to flow into both settings.
-    driver_mem = (extra_conf or {}).get("spark.driver.memory", _DRIVER_MEM)
+    driver_mem = (extra_conf or {}).get("spark.driver.memory", _default_driver_memory())
 
     builder = (
         SparkSession.builder.appName(app_name)

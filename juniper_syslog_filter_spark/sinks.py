@@ -81,7 +81,11 @@ def export_xlsx(
     a ``.xlsx.MISSING`` marker so operators notice.
     """
     os.makedirs(output_dir, exist_ok=True)
-    pdf = df.toPandas().astype(str)
+    # fillna BEFORE astype: astype(str) alone would stringify nulls as
+    # "None"/"nan", violating the ''-for-null convention this sink
+    # replicates (reference na_rep='', modules/export_excel.py).
+    pdf = df.toPandas()
+    pdf = pdf.astype(object).where(pdf.notna(), "").astype(str)
     chunks = [
         pdf.iloc[i : i + MAX_XLSX_ROWS] for i in range(0, max(len(pdf), 1), MAX_XLSX_ROWS)
     ]

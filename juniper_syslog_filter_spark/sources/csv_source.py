@@ -30,3 +30,13 @@ def read_stage_csv(
     df = reader.csv(path)
     # CSV null → '' (the reference's na convention, SURVEY §1.2).
     return df.select(*[F.coalesce(F.col(f"`{c}`"), F.lit("")).alias(c) for c in columns])
+
+
+def read_stage_csv_auto(spark: SparkSession, path: str) -> DataFrame:
+    """Header CSV with columns taken from the file header (the per-module
+    standalone path — the reference modules likewise trust the header and
+    validate presence of the ones they need). All-string, '' for missing."""
+    df = spark.read.option("header", True).csv(path)  # no inferSchema → strings
+    return df.select(
+        *[F.coalesce(F.col(f"`{c}`"), F.lit("")).alias(c) for c in df.columns]
+    )

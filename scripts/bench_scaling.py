@@ -25,9 +25,9 @@ import tempfile
 sys.path.insert(0, ".")
 
 
-def run_worker(cpus: int, pages_path: str, out_dir: str) -> dict:
+def run_worker(cpus: int, pages_path: str, out_dir: str, n_timed: int = 4) -> dict:
     proc = subprocess.run(
-        [sys.executable, "scripts/bench_scaling_worker.py", str(cpus), pages_path, out_dir],
+        [sys.executable, "scripts/bench_scaling_worker.py", str(cpus), pages_path, out_dir, str(n_timed)],
         capture_output=True, text=True, check=False,
     )
     if proc.returncode != 0:
@@ -39,7 +39,10 @@ def run_worker(cpus: int, pages_path: str, out_dir: str) -> dict:
     return json.loads(lines[-1])
 
 
-def main(n: int = 8, n_pages: int = 1_000_000) -> int:
+def main(n: int = 8, n_pages: int = 1_000_000, rounds: int = 2, n_timed: int = 4) -> int:
+    """rounds × interleaved A/B workers per level for small inputs;
+    large inputs (≥10 M pages) amortize host stalls over minutes, so
+    rounds=1, n_timed=2 measures the same thing in a quarter the time."""
     tmp = tempfile.mkdtemp(prefix="scaling_")
     pages_path = os.path.join(tmp, "pages")
     try:
@@ -62,9 +65,9 @@ def main(n: int = 8, n_pages: int = 1_000_000) -> int:
         # level produces nonsense ratios (observed 0.17x AND 5.2x for
         # the same code). Each worker is itself warm-up + min-of-2.
         lo_trials, hi_trials = [], []
-        for r in range(2):
-            lo_trials.append(run_worker(n, pages_path, os.path.join(tmp, f"out{n}_{r}")))
-            hi_trials.append(run_worker(4 * n, pages_path, os.path.join(tmp, f"out{4 * n}_{r}")))
+        for r in range(rounds):
+            lo_trials.append(run_worker(n, pages_path, os.path.join(tmp, f"out{n}_{r}"), n_timed))
+            hi_trials.append(run_worker(4 * n, pages_path, os.path.join(tmp, f"out{4 * n}_{r}"), n_timed))
         lo = min(lo_trials, key=lambda d: d["wall_sec"])
         hi = min(hi_trials, key=lambda d: d["wall_sec"])
     finally:
@@ -93,4 +96,6 @@ def main(n: int = 8, n_pages: int = 1_000_000) -> int:
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     pages = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
-    sys.exit(main(n, pages))
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else (1 if pages >= 10_000_000 else 2)
+    n_timed = int(sys.argv[4]) if len(sys.argv) > 4 else (2 if pages >= 10_000_000 else 4)
+    sys.exit(main(n, pages, rounds, n_timed))

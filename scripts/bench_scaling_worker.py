@@ -1,10 +1,13 @@
 """One scaling-bench trial: run the north-rule pipeline at a given core
 count in THIS process's fresh JVM and print a JSON result line.
 
-Usage: python scripts/bench_scaling_worker.py CPUS PAGES_PATH OUT_DIR [N_PAGES]
+Usage: python scripts/bench_scaling_worker.py CPUS PAGES_PATH OUT_DIR [N_TIMED]
 
 Run via subprocess by scripts/bench_scaling.py so each parallelism level
-gets its own JVM (`local[N]` is fixed at session creation).
+gets its own JVM (`local[N]` is fixed at session creation). N_TIMED
+(default 4) is the timed-run count — large inputs amortize host stalls
+over minutes of runtime, so 2 timed runs suffice there while small
+inputs need min-of-4.
 """
 
 from __future__ import annotations
@@ -19,7 +22,7 @@ from juniper_syslog_filter_spark.pipeline import run_pipeline  # noqa: E402
 from juniper_syslog_filter_spark.session import build_session  # noqa: E402
 
 
-def main(cpus: int, pages_path: str, out_dir: str) -> int:
+def main(cpus: int, pages_path: str, out_dir: str, n_timed: int = 4) -> int:
     spark = build_session(
         app_name=f"scaling-{cpus}",
         master=f"local[{cpus}]",
@@ -43,7 +46,7 @@ def main(cpus: int, pages_path: str, out_dir: str) -> int:
     # improving over the first few runs; min-of-N estimates the
     # machine's steady-state capability at each parallelism level.
     walls = []
-    for i in range(4):
+    for i in range(n_timed):
         t0 = time.time()
         res = run_pipeline(
             spark, pages_path, f"{out_dir}_r{i}",
@@ -62,4 +65,7 @@ def main(cpus: int, pages_path: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]), sys.argv[2], sys.argv[3]))
+    sys.exit(main(
+        int(sys.argv[1]), sys.argv[2], sys.argv[3],
+        int(sys.argv[4]) if len(sys.argv) > 4 else 4,
+    ))

@@ -74,9 +74,13 @@ def main(sf_dir: str) -> int:
     parsed = parse_pages(pages, keyword="RT_IDP_ATTACK")
     p = plan_of(parsed)
     print(p)
+    # In `formatted` output the tree prints top-down, so the Filter that
+    # executes BEFORE MapInPandas must appear AFTER it in the text.
     ok = ("MapInPandas" in p and "Filter" in p
           and p.index("MapInPandas") < p.index("(4) Filter" if "(4) Filter" in p else "Filter"))
-    failures += not check("raw-byte prefilter before Python", p, must=["MapInPandas", "contains"])
+    if not ok:
+        print("  MISSING Filter-below-MapInPandas ordering")
+    failures += not (ok and check("raw-byte prefilter before Python", p, must=["MapInPandas", "contains"]))
 
     # 3. Dim joins broadcast; fact side never shuffles for the join.
     e = enrich(parsed, severity_dim(spark), device_dim(spark))

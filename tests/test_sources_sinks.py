@@ -86,3 +86,52 @@ def test_export_xlsx_fallback_or_real(spark, tmp_path):
         assert out[0].endswith(".csv")
         assert os.path.exists(out[0].replace(".csv", ".xlsx.MISSING"))
         assert pd.read_csv(out[0], dtype=str).iloc[0].tolist() == ["x", "1"]
+
+
+def test_export_xlsx_nulls_become_empty_string(spark, tmp_path):
+    """''-for-null convention at the sink (reference na_rep='',
+    modules/export_excel.py) — nulls must never surface as 'None'/'nan'
+    in either the xlsx cells or the CSV fallback."""
+    df = spark.createDataFrame([("x", None), (None, "y")], "A string, B string")
+    out = export_xlsx(df, str(tmp_path / "final"))
+    got = pd.read_csv(out[0], dtype=str, keep_default_na=False) if out[0].endswith(".csv") else None
+    if got is None:
+        import openpyxl  # only reachable when xlsxwriter exists
+
+        ws = openpyxl.load_workbook(out[0]).active
+        vals = [[c.value for c in row] for row in ws.iter_rows(min_row=2)]
+        flat = [("" if v is None else v) for row in vals for v in row]
+    else:
+        flat = [v for _, row in got.iterrows() for v in row.tolist()]
+    assert "None" not in flat and "nan" not in flat
+    assert sorted(flat) == ["", "", "x", "y"]
+
+
+def test_export_xlsx_formatting_reference_asserts(spark, tmp_path):
+    """Port of reference tests/test_export_excel.py:32-101 (font, bold
+    header, column-width clamp) — runs whenever the sandbox gains
+    xlsxwriter + openpyxl; skipped (not failed) until then."""
+    pytest.importorskip("xlsxwriter")
+    openpyxl = pytest.importorskip("openpyxl")
+    df = spark.createDataFrame(
+        [
+            ("2025-12-19T10:00:00Z", "srx-fw01", "CRITICAL", "RT_IDP_ATTACK_LOG: Attack detected"),
+            ("2025-12-19T10:01:00Z", "srx-fw02", "CRITICAL", "RT_IDP_ATTACK_LOG: Intrusion attempt"),
+        ],
+        "Timestamp string, Hostname string, Severity string, Message string",
+    )
+    out = export_xlsx(df, str(tmp_path / "final"), font_name="Yu Gothic", font_size=11)
+    wb = openpyxl.load_workbook(out[0])
+    ws = wb.active
+    for cell in ws[1]:  # header row: bold + font contract
+        assert cell.font.bold is True
+        assert cell.font.name == "Yu Gothic"
+        assert cell.font.size == 11
+    for row in ws.iter_rows(min_row=2):  # body rows: font, not bold
+        for cell in row:
+            if cell.value:
+                assert cell.font.name == "Yu Gothic"
+                assert cell.font.size == 11
+    for column in ws.columns:  # width = clamp(maxlen, 10, 50)
+        width = ws.column_dimensions[column[0].column_letter].width
+        assert width is not None and 10 <= width <= 50
