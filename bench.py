@@ -30,6 +30,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from juniper_syslog_filter_spark.session import build_session  # noqa: E402
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
@@ -62,11 +64,25 @@ def main() -> int:
         shuffle_partitions=max(8, cpus),
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # Warm-up: JVM codegen + Python worker pool spin-up, plus one scan
-    # of every driver table so first-parquet-read footer/OS-cache cost
-    # isn't billed to whichever query happens to run first (round 1
-    # billed 19 s of warm-up to a trivial contains-filter).
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm-up (none of this billed to queries):
+    # 1. a real shuffle sized to touch a few GB of heap — this host
+    #    faults first-touched JVM heap pages at up to seconds/GB, a cost
+    #    that otherwise lands on whichever query shuffles first
+    #    (round 1 billed 19 s of it to a trivial contains-filter);
+    # 2. a pandas-UDF stage so the Python worker fleet is spawned;
+    # 3. one scan per driver table (parquet footers, OS page cache).
+    spark.range(200_000_000).select(
+        (F.col("id") % 1_000_000).alias("k")
+    ).groupBy("k").count().write.format("noop").mode("overwrite").save()
+    import pandas as pd  # noqa: F401
+
+    @F.pandas_udf("long")
+    def _warm(s: "pd.Series") -> "pd.Series":
+        return s
+
+    spark.range(1_000_000).repartition(cpus).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
     from juniper_syslog_filter_spark.datagen import load_table
 
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():

@@ -178,30 +178,54 @@ def minhash_buckets(
     md5 = hashlib.md5
     bands_idx = list(range(n_bands))
 
+    src = df.select(id_col, text_col)
+    # A small table read from one parquet file arrives as ONE partition,
+    # which would serialize the kernel onto a single core. At real scale
+    # the scan already has >= defaultParallelism splits and this is a
+    # no-op (no shuffle inserted).
+    sc = df.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # shingle → per-seed digest memo: natural-language shingles
+        # repeat heavily across documents (measured 104x on the bench
+        # corpus), so hashing each distinct shingle once cuts the md5
+        # volume by the repetition factor. Capped to bound memory on
+        # low-redundancy corpora.
+        memo: dict[bytes, list[bytes]] = {}
+        flat_seeds = [s for band in seeds for s in band]
+
+        def digests(s: bytes) -> list[bytes]:
+            got = memo.get(s)
+            if got is None:
+                got = [md5(seed + s).digest() for seed in flat_seeds]
+                if len(memo) < 1_000_000:
+                    memo[s] = got
+            return got
+
         for pdf in batches:
             out_id: list = []
             out_band: list[int] = []
             out_bucket: list[str] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                shingles = [s.encode("utf-8") for s in _py_char_shingles(text, k)]
+                ds = [digests(s.encode("utf-8")) for s in _py_char_shingles(text, k)]
+                si = 0
                 for b in bands_idx:
-                    row_mins = [
-                        min(md5(seed + s).digest() for s in shingles).hex()
-                        for seed in seeds[b]
-                    ]
+                    row_mins = []
+                    for _ in range(rows_per_band):
+                        row_mins.append(min(d[si] for d in ds).hex())
+                        si += 1
                     out_bucket.append(md5("|".join(row_mins).encode("utf-8")).hexdigest())
                 out_id.extend([doc_id] * n_bands)
                 out_band.extend(bands_idx)
             yield pd.DataFrame({"id": out_id, "band": out_band, "bucket": out_bucket})
 
-    return df.select(id_col, text_col).mapInPandas(
-        run, f"id {id_type}, band int, bucket string"
-    )
+    return src.mapInPandas(run, f"id {id_type}, band int, bucket string")
 
 
 def lsh_candidate_pairs(
-    buckets: DataFrame, max_bucket: int | None = 1000
+    buckets: DataFrame, max_bucket: int | None = 1000, materialize: bool = True
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any (band, bucket).
 
@@ -209,7 +233,18 @@ def lsh_candidate_pairs(
     — the standard web-scale guard that also bounds join skew: a bucket
     of size m yields m² pair rows, so one 10⁶-doc bucket would emit 10¹²
     rows without the cap.
+
+    ``materialize`` eagerly materializes the signature table
+    (``localCheckpoint``): the plan references it three times (size
+    filter + both self-join sides), and a lazy cache RACES — the three
+    subtrees launch concurrently in one job and each recomputes the
+    signature kernel before the cache is hot (measured 82 s → 15 s for
+    the same query). At real scale the signature table is tiny relative
+    to the corpus (~8 short rows/doc) and is written to its own table
+    anyway; eager materialization is the same design decision locally.
     """
+    if materialize:
+        buckets = buckets.localCheckpoint(eager=True)
     if max_bucket is not None:
         sizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
         buckets = (
@@ -238,11 +273,24 @@ def shingle_jaccard_udf(k: int = 8):
     distinct arrays are set sizes, and len_int/len_union is the same
     double either way."""
 
+    memo: dict[str, set[str]] = {}
+
+    def sh(t: str) -> set[str]:
+        got = memo.get(t)
+        if got is None:
+            got = _py_char_shingles(t, k)
+            if len(memo) < 100_000:
+                memo[t] = got
+        return got
+
     def fn(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        # Each doc appears in many candidate pairs (~85x on the bench
+        # corpus), so the text → shingle-set memo trims the dominant
+        # per-pair cost to two dict hits + set intersection.
         out = np.empty(len(ta), dtype=np.float64)
         for i, (a, b) in enumerate(zip(ta, tb)):
-            sa = _py_char_shingles(a, k)
-            sb = _py_char_shingles(b, k)
+            sa = sh(a)
+            sb = sh(b)
             out[i] = len(sa & sb) / len(sa | sb)
         return pd.Series(out)
 
@@ -265,11 +313,21 @@ def word_ngram_jaccard_udf(n: int = 2):
     """Arrow-vectorized exact Jaccard of word n-gram sets (twin of
     ``jaccard(word_ngrams(a), word_ngrams(b))`` / the SQL builders)."""
 
+    memo: dict[str, set[str]] = {}
+
+    def ng(t: str) -> set[str]:
+        got = memo.get(t)
+        if got is None:
+            got = _py_word_ngrams(t, n)
+            if len(memo) < 100_000:
+                memo[t] = got
+        return got
+
     def fn(ta: pd.Series, tb: pd.Series) -> pd.Series:
         out = np.empty(len(ta), dtype=np.float64)
         for i, (a, b) in enumerate(zip(ta, tb)):
-            sa = _py_word_ngrams(a, n)
-            sb = _py_word_ngrams(b, n)
+            sa = ng(a)
+            sb = ng(b)
             out[i] = len(sa & sb) / len(sa | sb)
         return pd.Series(out)
 

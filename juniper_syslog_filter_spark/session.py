@@ -68,6 +68,13 @@ def build_session(
         # north rule's skew handling rests on this plus explicit salting.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces post-shuffle partitions by BYTE size — a bad cost
+        # proxy for CPU-heavy Arrow/pandas kernel stages, where it was
+        # measured collapsing an explicit repartition(32) ahead of a
+        # mapInPandas onto one core (2.6x whole-query slowdown). 64k
+        # still merges genuinely tiny shuffles but keeps parallelism for
+        # anything a Python kernel would chew on.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow transfer for pandas UDFs (the parse stage) — batched
