@@ -422,6 +422,55 @@ def q_w1_sessionize(spark, sf_dir):
     )
 
 
+def q_w3_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour time-window aggregate via F.window — the batch
+    twin of the streaming windowed count (streaming.py); window start is
+    epoch-aligned, i.e. date_trunc('hour')."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour")["start"].alias("win_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_w4_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): each event picks the user's
+    latest order at-or-before the event time (ties → greatest orderkey)
+    via the union-sort-window shape — one shuffle, no pair explosion."""
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    out = asof_join(
+        ev, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["o_orderkey"], tie_col="o_orderkey",
+    )
+    return out.select("event_id", "user_id", F.col("o_orderkey").alias("last_orderkey"))
+
+
+def q_t7_doc_freq(spark, sf_dir):
+    """Corpus document frequency: explode each doc's DISTINCT token set,
+    count docs per token, top-50 (df desc, token asc) — the IDF building
+    block; partial-agg + TakeOrderedAndProject, no full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(50)
+    )
+
+
 def q_w2_topk_per_group(spark, sf_dir):
     """Top-3 orders by price per market segment (row_number window)."""
     from pyspark.sql import Window
@@ -524,6 +573,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t6_bpe_tokens": q_t6_bpe_tokens,
     "w1_sessionize": q_w1_sessionize,
     "w2_topk_per_group": q_w2_topk_per_group,
+    "w3_tumbling_window": q_w3_tumbling_window,
+    "w4_asof_join": q_w4_asof_join,
+    "t7_doc_freq": q_t7_doc_freq,
     "mm1_media_meta": q_mm1_media_meta,
 }
 
@@ -789,6 +841,30 @@ ORACLE_SQL: dict[str, str] = {
     "mm1_media_meta": """
         SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS fp_md5
         FROM documents
+    """,
+    "w3_tumbling_window": """
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "w4_asof_join": """
+        WITH j AS (
+          SELECT e.event_id, e.user_id, o.o_orderkey,
+                 row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM events e
+          JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, user_id, o_orderkey AS last_orderkey
+        FROM j WHERE rn = 1
+    """,
+    "t7_doc_freq": """
+        SELECT token, count(*) AS df FROM (
+          SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+          FROM documents
+        ) GROUP BY token
+        ORDER BY df DESC, token ASC LIMIT 50
     """,
     "s1_cosine_topk": """
         WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),

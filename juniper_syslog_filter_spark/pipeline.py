@@ -160,33 +160,20 @@ def run_pipeline(
 
     # Aggregate from the just-written routed sink → per-sink counts match
     # routed rows by construction, and the parse stage runs exactly once.
-    # ONE combined groupBy (sink keys × src_file) feeds both the agg
-    # table and the per-unit lineage — the round-1 shape scanned the
-    # routed sink twice (separate agg + lineage jobs), a measured ~2 s
-    # serial tail per run.
+    # Two column-pruned jobs (small agg write + 1-row-per-file lineage
+    # collect) beat one combined groupBy: the combined key space
+    # (sinks × dates × files) cartesians into ~10^6 rows whose driver
+    # collect measured 13 s — far worse than the second ~0.5 s scan.
     routed_back = spark.read.parquet(routed_path).filter(F.col("batch") == batch)
-    combined = (
-        routed_back.groupBy(
-            F.col("Severity").alias("severity"),
-            F.col("lang").alias("lang"),
-            F.to_date("warc_ts").alias("date"),
-            F.col("src_file").alias("src_file"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()  # small by construction: |sinks| × |dates| × |files|
-    )
-    agg_rows = {}
-    per_file: dict[str, int] = {}
-    for r in combined:
-        key = (r["severity"], r["lang"], r["date"])
-        agg_rows[key] = agg_rows.get(key, 0) + r["n"]
-        per_file[r["src_file"]] = per_file.get(r["src_file"], 0) + r["n"]
-    agg = spark.createDataFrame(
-        [(s, lg, dt, n) for (s, lg, dt), n in sorted(agg_rows.items())],
-        "severity string, lang string, date date, n long",
-    ).withColumn("batch", F.lit(batch))
-    agg.coalesce(1).write.mode("overwrite").partitionBy("batch").parquet(agg_path)
+    agg = aggregate_counts(routed_back).withColumn("batch", F.lit(batch))
+    agg.write.mode("overwrite").partitionBy("batch").parquet(agg_path)
     mark("aggregate")
+
+    # Per-unit lineage metrics (rows per source file) + checkpoint commit.
+    per_file = {
+        r["src_file"]: r["n"]
+        for r in routed_back.groupBy("src_file").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
     lineage = [
         {
             "batch_id": batch,

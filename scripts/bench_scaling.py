@@ -41,8 +41,9 @@ def run_worker(cpus: int, pages_path: str, out_dir: str, n_timed: int = 4) -> di
 
 def main(n: int = 8, n_pages: int = 1_000_000, rounds: int = 2, n_timed: int = 4) -> int:
     """rounds × interleaved A/B workers per level for small inputs;
-    large inputs (≥10 M pages) amortize host stalls over minutes, so
-    rounds=1, n_timed=2 measures the same thing in a quarter the time."""
+    large inputs (≥10 M pages) amortize per-run host stalls, so one
+    round suffices — but each worker still needs min-of-4 timed runs
+    because a fresh JVM warms in over several executions (BENCH.md)."""
     tmp = tempfile.mkdtemp(prefix="scaling_")
     pages_path = os.path.join(tmp, "pages")
     try:
@@ -96,6 +97,8 @@ def main(n: int = 8, n_pages: int = 1_000_000, rounds: int = 2, n_timed: int = 4
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     pages = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    # n_timed stays 4 at every size: a fresh JVM warms in over several
+    # full runs (see BENCH.md), so min-of-2 still measures the VM.
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else (1 if pages >= 10_000_000 else 2)
-    n_timed = int(sys.argv[4]) if len(sys.argv) > 4 else (2 if pages >= 10_000_000 else 4)
+    n_timed = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     sys.exit(main(n, pages, rounds, n_timed))
