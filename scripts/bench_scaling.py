@@ -10,7 +10,7 @@ and we report throughput at both plus strong-scaling efficiency::
 Usage: python scripts/bench_scaling.py [N] [N_PAGES]
 Defaults: N=8 (→ 8 vs 32 cores), 1,000,000 pages.
 
-Prints one JSON line; scripts/update_bench_md.py folds it into BENCH.md.
+Prints one JSON line; paste it into BENCH.md's scaling section.
 """
 
 from __future__ import annotations
