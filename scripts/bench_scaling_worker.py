@@ -13,6 +13,7 @@ inputs need min-of-4.
 from __future__ import annotations
 
 import json
+import shutil
 import sys
 import time
 
@@ -45,14 +46,27 @@ def main(cpus: int, pages_path: str, out_dir: str, n_timed: int = 4) -> int:
     # exogenous stalls (shared VM) and lazy heap faulting that keeps
     # improving over the first few runs; min-of-N estimates the
     # machine's steady-state capability at each parallelism level.
+    # Each timed run must start from the same disk state: at large inputs
+    # a run leaves ~GBs of dirty pages whose background writeback bleeds
+    # into the NEXT run's wall (measured: 0.37 "efficiency" at 64M pages
+    # purely from cross-run writeback + page-cache pressure). Deleting
+    # the previous run's output before starting cancels most of that
+    # writeback (unflushed deleted pages never reach disk).
     walls = []
+    prev_out = out_dir + "_warmup"
     for i in range(n_timed):
+        shutil.rmtree(prev_out, ignore_errors=True)
+        # Old runs' shuffle files are only deleted once the JVM GCs their
+        # ShuffleDependency; in a tight loop they pile up on the same disk
+        # the sink writes to. Nudge the cleaner between (not during) runs.
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         res = run_pipeline(
             spark, pages_path, f"{out_dir}_r{i}",
             keyword=None, severity_filter=None, incremental=False,
         )
         walls.append(time.time() - t0)
+        prev_out = f"{out_dir}_r{i}"
     print(json.dumps({
         "cpus": cpus,
         "wall_sec": round(min(walls), 3),
