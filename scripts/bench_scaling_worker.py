@@ -13,6 +13,7 @@ inputs need min-of-4.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import time
@@ -24,10 +25,21 @@ from juniper_syslog_filter_spark.session import build_session  # noqa: E402
 
 
 def main(cpus: int, pages_path: str, out_dir: str, n_timed: int = 4) -> int:
+    # $JSF_MAXPB: scan split size override. The generator writes equal
+    # 64-file inputs; the default 128 MB split packs them into a ragged
+    # split count (e.g. 21 for 2.6 GB → 3 uneven waves on 8 slots, a
+    # measured ~9% wall tax at the 4N level). Setting the split size to
+    # one file yields a split count divisible by every slot count, so
+    # both levels run whole waves. At real scale the same knob aligns
+    # splits to the cluster's total slot count.
+    extra = {}
+    if os.environ.get("JSF_MAXPB"):
+        extra["spark.sql.files.maxPartitionBytes"] = os.environ["JSF_MAXPB"]
     spark = build_session(
         app_name=f"scaling-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=max(8, cpus),
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
     # Warm-up (JVM JIT, codegen, Python worker pool, OS page cache): run
@@ -35,9 +47,15 @@ def main(cpus: int, pages_path: str, out_dir: str, n_timed: int = 4) -> int:
     # parallelism levels get the identical treatment, so the ratio is
     # fair and the fixed spin-up cost doesn't bias against the 4N run.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # $JSF_WARMUP_PATH: optional smaller input for the untimed warm-up —
+    # the warm-up exists to exercise JIT/codegen/Python-worker spin-up
+    # and heap first-touch, which a quarter-size input does equally well
+    # at a fraction of the wall (a full-input warm-up at local[2] costs
+    # ~30 min by itself). Timed runs always read the real input.
+    warm_path = os.environ.get("JSF_WARMUP_PATH", pages_path)
     t0 = time.time()
     run_pipeline(
-        spark, pages_path, out_dir + "_warmup",
+        spark, warm_path, out_dir + "_warmup",
         keyword=None, severity_filter=None, incremental=False,
     )
     warmup = time.time() - t0
