@@ -30,6 +30,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd  # noqa: E402  (module scope: pandas_udf type hints resolve here)
 from pyspark.sql import functions as F  # noqa: E402
 
 from juniper_syslog_filter_spark.session import build_session  # noqa: E402
@@ -74,10 +75,8 @@ def main() -> int:
     spark.range(200_000_000).select(
         (F.col("id") % 1_000_000).alias("k")
     ).groupBy("k").count().write.format("noop").mode("overwrite").save()
-    import pandas as pd  # noqa: F401
-
     @F.pandas_udf("long")
-    def _warm(s: "pd.Series") -> "pd.Series":
+    def _warm(s: pd.Series) -> pd.Series:
         return s
 
     spark.range(1_000_000).repartition(cpus).select(_warm("id")).write.format(
