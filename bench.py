@@ -12,8 +12,13 @@ throughput) and ``pages_rows``.
 
 Query timing uses the ``noop`` sink — full execution of the physical
 plan, zero driver-side collection cost — so the number is engine time,
-not pickling time. Each query runs once (cold); the session itself is
-warmed with one trivial job first so JVM startup isn't billed to q1.
+not pickling time. Each query is timed as the MIN of two executions:
+this host bills multi-second page-fault/contention storms to whichever
+query first allocates at 32-way concurrency (BENCH.md "Methodology" —
+the same job was measured at 12 s and 138 s back-to-back), so a single
+cold run measures the VM, not the plan; min-of-2 is the steady-state
+engine time. The session itself is additionally warmed with a shuffle,
+a pandas-UDF stage, and one scan per table before any timing.
 
 Scaling-efficiency evidence (two parallelism levels, fresh JVM each) is
 a separate harness: ``python scripts/bench_scaling.py`` → BENCH.md.
@@ -91,10 +96,14 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.time()
-        run_noop(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
-        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            run_noop(fn(spark, sf_dir))
+            walls.append(time.time() - t0)
+        timings[name] = round(min(walls), 3)
+        print(f"[bench] {name}: {timings[name]}s (runs: {[round(w, 2) for w in walls]})",
+              file=sys.stderr, flush=True)
 
     # North-rule pipeline over generated pages (generation not billed).
     from juniper_syslog_filter_spark.datagen import write_pages
@@ -106,12 +115,19 @@ def main() -> int:
     out_dir = os.path.join(tmp, "out")
     try:
         write_pages(spark, pages_path, n_pages, num_partitions=max(8, cpus))
-        t0 = time.time()
-        res = run_pipeline(
-            spark, pages_path, out_dir,
-            keyword=None, severity_filter=None, incremental=False,
-        )
-        pipe_sec = time.time() - t0
+        pipe_walls = []
+        for i in range(2):
+            out_i = f"{out_dir}_{i}"
+            t0 = time.time()
+            res = run_pipeline(
+                spark, pages_path, out_i,
+                keyword=None, severity_filter=None, incremental=False,
+            )
+            pipe_walls.append(time.time() - t0)
+            # same-disk-state discipline as scripts/bench_scaling_worker:
+            # drop the previous run's unflushed output before the next.
+            shutil.rmtree(out_i, ignore_errors=True)
+        pipe_sec = min(pipe_walls)
         timings["pipeline_e2e"] = round(pipe_sec, 3)
         pages_per_sec = n_pages / pipe_sec
     finally:

@@ -362,7 +362,7 @@ def q_d4_ngram_jaccard(spark, sf_dir):
         max_bucket=1000,
     )
     return D.verify_pairs_jaccard(
-        d, cand, "doc_id", "text", D.word_ngram_jaccard_udf(2), threshold=0.2
+        d, cand, "doc_id", "text", D.word_ngram_sig_udf(2), threshold=0.2
     )
 
 

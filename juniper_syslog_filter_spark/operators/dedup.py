@@ -154,18 +154,23 @@ def _py_char_shingles(text: str, k: int) -> set[str]:
     return {t[i : i + k] for i in range(max(1, len(t) - k + 1))}
 
 
-def minhash_buckets(
+def minhash_doc_table(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n_bands: int = 8,
     rows_per_band: int = 2,
     k: int = 8,
+    with_sig: bool = False,
 ) -> DataFrame:
-    """(id, band, bucket) — one row per (doc, band). One narrow
-    Arrow-batched ``mapInPandas`` pass computing the full signature;
-    values are identical to :func:`band_bucket_sql` (md5 hex min over
+    """(id, buckets) — ONE row per doc, ``buckets[b]`` = LSH bucket of
+    band b, identical to :func:`band_bucket_sql` (md5 hex min over
     seed-prefixed shingles, band bucket = md5 of '|'-joined row mins).
+    With ``with_sig`` also emits ``sig``: the doc's sorted int64 shingle
+    fingerprints (md5 first 8 bytes — the exact-Jaccard verify input),
+    computed in the SAME pass so the corpus is shingled once, not once
+    per downstream consumer. At 100 TB this row is the stored per-doc
+    signature artifact; banding back out is a JVM-side ``posexplode``.
 
     Hex-string min == digest-byte min (hex encoding is order-monotone),
     so the kernel compares raw digests and hex-encodes only the winner.
@@ -192,36 +197,71 @@ def minhash_buckets(
         # repeat heavily across documents (measured 104x on the bench
         # corpus), so hashing each distinct shingle once cuts the md5
         # volume by the repetition factor. Capped to bound memory on
-        # low-redundancy corpora.
+        # low-redundancy corpora. Seed slot 0 is the UNSEEDED digest
+        # feeding the verify fingerprint; slots 1.. are the band rows.
         memo: dict[bytes, list[bytes]] = {}
         flat_seeds = [s for band in seeds for s in band]
 
         def digests(s: bytes) -> list[bytes]:
             got = memo.get(s)
             if got is None:
-                got = [md5(seed + s).digest() for seed in flat_seeds]
+                got = [md5(s).digest()] + [md5(seed + s).digest() for seed in flat_seeds]
                 if len(memo) < 1_000_000:
                     memo[s] = got
             return got
 
         for pdf in batches:
             out_id: list = []
-            out_band: list[int] = []
-            out_bucket: list[str] = []
+            out_buckets: list[list[str]] = []
+            out_sig: list[np.ndarray] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 ds = [digests(s.encode("utf-8")) for s in _py_char_shingles(text, k)]
-                si = 0
-                for b in bands_idx:
+                si = 1
+                buckets = []
+                for _ in bands_idx:
                     row_mins = []
                     for _ in range(rows_per_band):
                         row_mins.append(min(d[si] for d in ds).hex())
                         si += 1
-                    out_bucket.append(md5("|".join(row_mins).encode("utf-8")).hexdigest())
-                out_id.extend([doc_id] * n_bands)
-                out_band.extend(bands_idx)
-            yield pd.DataFrame({"id": out_id, "band": out_band, "bucket": out_bucket})
+                    buckets.append(md5("|".join(row_mins).encode("utf-8")).hexdigest())
+                out_id.append(doc_id)
+                out_buckets.append(buckets)
+                if with_sig:
+                    buf = b"".join(d[0][:8] for d in ds)
+                    sig = np.frombuffer(buf, dtype=">i8").astype(np.int64)
+                    sig.sort()
+                    out_sig.append(sig)
+            cols = {"id": out_id, "buckets": out_buckets}
+            if with_sig:
+                cols["sig"] = out_sig
+            yield pd.DataFrame(cols)
 
-    return src.mapInPandas(run, f"id {id_type}, band int, bucket string")
+    schema = f"id {id_type}, buckets array<string>"
+    if with_sig:
+        schema += ", sig array<long>"
+    return src.mapInPandas(run, schema)
+
+
+def _explode_bands(doc_table: DataFrame) -> DataFrame:
+    """(id, buckets[, ...]) → (id, band, bucket) — JVM-side unbanding."""
+    return doc_table.select(
+        "id", F.posexplode("buckets").alias("band", "bucket")
+    )
+
+
+def minhash_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 8,
+    rows_per_band: int = 2,
+    k: int = 8,
+) -> DataFrame:
+    """(id, band, bucket) — one row per (doc, band); the banded view of
+    :func:`minhash_doc_table`."""
+    return _explode_bands(
+        minhash_doc_table(df, id_col, text_col, n_bands, rows_per_band, k)
+    )
 
 
 def lsh_candidate_pairs(
@@ -266,31 +306,74 @@ def lsh_candidate_pairs(
     )
 
 
+def _hash_sig(items: set[str]) -> np.ndarray:
+    """Sorted distinct int64 fingerprints of a string set (first 8 bytes
+    of md5, big-endian). Set Jaccard over these equals string-set Jaccard
+    unless two distinct members collide in 64 bits (P ≈ n²/2⁶⁵ ≈ 1e-14
+    for ~600-member pair unions — below any float rounding the oracle
+    compare could see)."""
+    md5 = hashlib.md5
+    buf = b"".join(md5(s.encode("utf-8")).digest()[:8] for s in items)
+    arr = np.frombuffer(buf, dtype=">i8").astype(np.int64)
+    arr.sort()
+    return arr
+
+
+def shingle_sig_udf(k: int = 8):
+    """text → sorted int64 char-k-shingle fingerprint array (the stored
+    per-doc signature the verify join distributes). One pass per DOC —
+    never per candidate pair — with memory bounded by the Arrow batch,
+    not the corpus: the earlier design's per-worker text→set memo was a
+    scale bug (a worker verifying pairs from a large corpus would cache
+    ~the whole corpus) and, measured locally, 32 workers × ~150 MB of
+    fresh set allocations hit this host's page-fault storm (625 CPU-s
+    for 11 s of actual set math)."""
+
+    def fn(texts: pd.Series) -> pd.Series:
+        return pd.Series([_hash_sig(_py_char_shingles(t, k)) for t in texts])
+
+    return F.pandas_udf(fn, "array<long>")
+
+
+def word_ngram_sig_udf(n: int = 2):
+    """text → sorted int64 word-n-gram fingerprint array (d4's verify
+    signature; same design notes as :func:`shingle_sig_udf`)."""
+
+    def fn(texts: pd.Series) -> pd.Series:
+        return pd.Series([_hash_sig(_py_word_ngrams(t, n)) for t in texts])
+
+    return F.pandas_udf(fn, "array<long>")
+
+
+def sig_jaccard_udf():
+    """Vectorized exact Jaccard of two sorted-distinct int64 signature
+    arrays: |a ∩ b| / (|a| + |b| - |a ∩ b|) — the identical rational as
+    string-set intersection/union (:func:`jaccard_sql`), so the rounded
+    double matches the oracle bit-for-bit (modulo the 1e-14 fingerprint
+    collision bound)."""
+
+    def fn(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = np.empty(len(sa), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(sa, sb)):
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            out[i] = inter / (len(a) + len(b) - inter)
+        return pd.Series(out)
+
+    return F.pandas_udf(fn, "double")
+
+
 def shingle_jaccard_udf(k: int = 8):
     """Arrow-vectorized exact Jaccard of char-k shingle sets of two text
-    columns. Set math == ``jaccard(char_shingles(a), char_shingles(b))``
-    (and the :func:`jaccard_sql` twin) exactly: intersection/union of
-    distinct arrays are set sizes, and len_int/len_union is the same
-    double either way."""
-
-    memo: dict[str, set[str]] = {}
-
-    def sh(t: str) -> set[str]:
-        got = memo.get(t)
-        if got is None:
-            got = _py_char_shingles(t, k)
-            if len(memo) < 100_000:
-                memo[t] = got
-        return got
+    columns (pairwise form; prefer the signature-join path in
+    :func:`verify_pairs_jaccard` for anything bigger than a spot check).
+    Set math == ``jaccard(char_shingles(a), char_shingles(b))`` (and the
+    :func:`jaccard_sql` twin) exactly."""
 
     def fn(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        # Each doc appears in many candidate pairs (~85x on the bench
-        # corpus), so the text → shingle-set memo trims the dominant
-        # per-pair cost to two dict hits + set intersection.
         out = np.empty(len(ta), dtype=np.float64)
         for i, (a, b) in enumerate(zip(ta, tb)):
-            sa = sh(a)
-            sb = sh(b)
+            sa = _py_char_shingles(a, k)
+            sb = _py_char_shingles(b, k)
             out[i] = len(sa & sb) / len(sa | sb)
         return pd.Series(out)
 
@@ -310,28 +393,45 @@ def _py_word_ngrams(text: str, n: int) -> set[str]:
 
 
 def word_ngram_jaccard_udf(n: int = 2):
-    """Arrow-vectorized exact Jaccard of word n-gram sets (twin of
-    ``jaccard(word_ngrams(a), word_ngrams(b))`` / the SQL builders)."""
-
-    memo: dict[str, set[str]] = {}
-
-    def ng(t: str) -> set[str]:
-        got = memo.get(t)
-        if got is None:
-            got = _py_word_ngrams(t, n)
-            if len(memo) < 100_000:
-                memo[t] = got
-        return got
+    """Arrow-vectorized exact Jaccard of word n-gram sets (pairwise form;
+    twin of ``jaccard(word_ngrams(a), word_ngrams(b))`` / the SQL
+    builders). Prefer the signature-join path for bulk verification."""
 
     def fn(ta: pd.Series, tb: pd.Series) -> pd.Series:
         out = np.empty(len(ta), dtype=np.float64)
         for i, (a, b) in enumerate(zip(ta, tb)):
-            sa = ng(a)
-            sb = ng(b)
+            sa = _py_word_ngrams(a, n)
+            sb = _py_word_ngrams(b, n)
             out[i] = len(sa & sb) / len(sa | sb)
         return pd.Series(out)
 
     return F.pandas_udf(fn, "double")
+
+
+def verify_pairs_sig(sig: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Keep candidate pairs with exact set Jaccard ≥ threshold, given a
+    per-doc signature table (id, sig: sorted int64 fingerprints).
+
+    The signature table is hash-joined onto both pair sides and the
+    per-pair Jaccard is a vectorized sorted-array intersection —
+    O(|candidates|) work, O(Arrow batch) memory. At 100 TB the signature
+    table is a stored artifact of the corpus (~2 KB/doc) and this stage
+    is two shuffle joins + a narrow kernel; nothing holds per-worker
+    state proportional to the corpus (the earlier design's per-worker
+    text→shingle-set memo was a scale bug, and 32 workers × ~150 MB of
+    fresh set allocations hit this host's page-fault storm — 625 CPU-s
+    for 11 s of actual set math)."""
+    jacc = sig_jaccard_udf()
+    return (
+        cand.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("_sa")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("_sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jacc(F.col("_sa"), F.col("_sb")), 6).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= threshold)
+    )
 
 
 def verify_pairs_jaccard(
@@ -339,23 +439,20 @@ def verify_pairs_jaccard(
     cand: DataFrame,
     id_col: str,
     text_col: str,
-    jacc_udf,
+    sig_udf,
     threshold: float,
 ) -> DataFrame:
-    """Attach both texts to candidate pairs and keep those with exact
-    Jaccard ≥ threshold. Two hash joins on id — sub-quadratic: cost is
-    O(|candidates|), never O(n²)."""
-    txt = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-    return (
-        cand.join(txt.withColumnRenamed("id", "id_a").withColumnRenamed("t", "_ta"), "id_a")
-        .join(txt.withColumnRenamed("id", "id_b").withColumnRenamed("t", "_tb"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(jacc_udf(F.col("_ta"), F.col("_tb")), 6).alias("jacc"),
-        )
-        .filter(F.col("jacc") >= threshold)
-    )
+    """:func:`verify_pairs_sig` over signatures fingerprinted on the fly
+    (``sig_udf``: text → sorted int64 array), one pass per DOC — never
+    per candidate pair."""
+    sig = df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
+    sc = df.sparkSession.sparkContext
+    if sig.rdd.getNumPartitions() < sc.defaultParallelism:
+        sig = sig.repartition(sc.defaultParallelism)
+    # Referenced by both join sides; materialize once (same decision as
+    # the bucket table in lsh_candidate_pairs — a lazy cache races).
+    sig = sig.localCheckpoint(eager=True)
+    return verify_pairs_sig(sig, cand, threshold)
 
 
 def minhash_lsh_pairs(
@@ -370,17 +467,20 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard.
 
-    Returns (id_a, id_b, jacc) with jacc ≥ threshold. Verification
-    re-attaches the raw text to both sides and computes set Jaccard in
-    one vectorized kernel — O(|candidates|) work after the bucket join.
+    Returns (id_a, id_b, jacc) with jacc ≥ threshold. ONE kernel pass
+    computes each doc's band buckets AND its exact-verify fingerprint
+    signature (:func:`minhash_doc_table`); banding, the bucket
+    self-join, and the signature joins are all JVM-side, and the final
+    per-pair Jaccard is a vectorized sorted-array intersection —
+    O(|candidates|) work after the bucket join.
     """
+    doc = minhash_doc_table(
+        df, id_col, text_col, n_bands, rows_per_band, k, with_sig=True
+    ).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(
-        minhash_buckets(df, id_col, text_col, n_bands, rows_per_band, k),
-        max_bucket=max_bucket,
+        _explode_bands(doc), max_bucket=max_bucket, materialize=False
     )
-    return verify_pairs_jaccard(
-        df, cand, id_col, text_col, shingle_jaccard_udf(k), threshold
-    )
+    return verify_pairs_sig(doc.select("id", "sig"), cand, threshold)
 
 
 # ---------------------------------------------------------------------------
