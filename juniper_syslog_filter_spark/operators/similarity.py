@@ -26,6 +26,8 @@ computed on the fly here because the driver tables are read-only).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -51,6 +53,48 @@ def cosine_sql(a: str, b: str) -> str:
         f"list_dot_product({a}, {b}) / "
         f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
     )
+
+
+def cosine_pair_udf():
+    """Vectorized cosine of two embedding-array columns — the bulk
+    (per-candidate-pair) execution path of :func:`cosine`. Spark's
+    ``aggregate`` HOF is interpreted per element (no codegen): measured
+    22 s for ~1.5 M blocked pairs at sf0.1, growing with Σ bucket².
+
+    Bit-identical to the expression/SQL twins: accumulation runs across
+    the DIMENSION axis (one fused numpy op per dim, vectorized across
+    the batch's pairs), so each pair's dot/norm folds left-to-right in
+    IEEE double exactly like ``aggregate``/``list_dot_product``."""
+
+    def one(a: np.ndarray, b: np.ndarray) -> float:
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (np.sqrt(na) * np.sqrt(nb))
+
+    def fn(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        try:
+            a = np.stack(ea.to_numpy()).astype(np.float64)
+            b = np.stack(eb.to_numpy()).astype(np.float64)
+        except ValueError:
+            # ragged dims — per-pair left-to-right fallback
+            return pd.Series(
+                [one(x.astype(np.float64), y.astype(np.float64))
+                 for x, y in zip(ea, eb)]
+            )
+        n = a.shape[0]
+        dot = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for j in range(a.shape[1]):
+            dot += a[:, j] * b[:, j]
+            na += a[:, j] * a[:, j]
+            nb += b[:, j] * b[:, j]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return F.pandas_udf(fn, "double")
 
 
 # ---------------------------------------------------------------------------
@@ -192,7 +236,7 @@ def cosine_neardup_pairs(
         F.col(id_col).alias("id_b"),
         F.col(emb_col).alias("_eb"),
     )
-    sim = cosine(F.col("_ea").cast("array<double>"), F.col("_eb").cast("array<double>"))
+    sim = cosine_pair_udf()(F.col("_ea"), F.col("_eb"))
     return (
         a.join(b, "_blk")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -101,6 +101,22 @@ def main(sf_dir: str) -> int:
         must=["HashAggregate", "partial_count"],
     )
 
+    # 5. Near-dup verify: every join hash-based (bucket self-join and
+    #    both signature joins) — a nested-loop/cartesian anywhere here
+    #    is quadratic at scale; the only Python stages are the one
+    #    signature kernel (MapInPandas) and the pair-Jaccard kernel
+    #    (ArrowEvalPython).
+    from juniper_syslog_filter_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = plan_of(minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5))
+    print(p)
+    failures += not check(
+        "near-dup verify joins", p,
+        must=["ArrowEvalPython"],
+        must_not=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+
     spark.stop()
     print("FAILURES:", failures)
     return 1 if failures else 0

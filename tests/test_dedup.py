@@ -92,3 +92,43 @@ def test_word_ngrams(spark):
 def test_exact_dedup_operator(spark, docs):
     out = {r.keeper_doc_id: r.n_copies for r in D.exact_dedup(docs, ["text"], "doc_id").collect()}
     assert out == {1: 2, 3: 1, 4: 1}
+
+
+def test_sig_jaccard_equals_string_set_jaccard(spark, docs):
+    """The int64-fingerprint verify path must reproduce exact string-set
+    Jaccard (collision probability ~1e-14 — any mismatch here is a bug,
+    not a collision)."""
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    got = {
+        (r.id_a, r.id_b): r.jacc
+        for r in D.verify_pairs_jaccard(
+            docs, cand, "doc_id", "text", D.shingle_sig_udf(8), threshold=0.0
+        ).collect()
+    }
+    texts = dict(DOCS)
+
+    def sh(t):
+        return {t[i : i + 8] for i in range(max(1, len(t) - 7))}
+
+    assert len(got) == 6
+    for (ia, ib), j in got.items():
+        sa, sb = sh(texts[ia]), sh(texts[ib])
+        assert j == round(len(sa & sb) / len(sa | sb), 6), (ia, ib)
+
+
+def test_minhash_doc_table_sig_matches_sig_udf(spark, docs):
+    """The combined kernel's in-pass signature must equal the standalone
+    shingle_sig_udf fingerprints (same md5-prefix definition)."""
+    from_doc = {
+        r.id: list(r.sig)
+        for r in D.minhash_doc_table(docs, "doc_id", "text", with_sig=True).collect()
+    }
+    standalone = {
+        r.doc_id: list(r.sig)
+        for r in docs.select(
+            "doc_id", D.shingle_sig_udf(8)(F.col("text")).alias("sig")
+        ).collect()
+    }
+    assert from_doc == standalone

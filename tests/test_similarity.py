@@ -85,3 +85,24 @@ def test_cosine_neardup_blocked_pairs(emb):
         assert r.id_a < r.id_b
         assert labels[r.id_a] == labels[r.id_b] == r.label
         assert r.cos_sim >= 0.99
+
+
+def test_cosine_pair_udf_bit_identical_to_expression(emb):
+    """The vectorized pair kernel must reproduce the interpreted
+    ``cosine`` expression EXACTLY (same left-to-right fold order), since
+    the DuckDB oracle twin matches the expression bit-for-bit."""
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    expr = S.cosine(
+        F.col("_ea").cast("array<double>"), F.col("_eb").cast("array<double>")
+    )
+    got = pairs.select(
+        "id_a",
+        "id_b",
+        expr.alias("c_expr"),
+        S.cosine_pair_udf()(F.col("_ea"), F.col("_eb")).alias("c_udf"),
+    ).collect()
+    assert len(got) == N * (N - 1) // 2
+    for r in got:
+        assert r.c_expr == r.c_udf, (r.id_a, r.id_b)
