@@ -95,6 +95,7 @@ def main() -> int:
     from juniper_syslog_filter_spark.driver_queries import QUERIES
 
     timings: dict[str, float] = {}
+    first_runs: dict[str, float] = {}
     for name, fn in QUERIES.items():
         walls = []
         for _ in range(2):
@@ -102,6 +103,7 @@ def main() -> int:
             run_noop(fn(spark, sf_dir))
             walls.append(time.time() - t0)
         timings[name] = round(min(walls), 3)
+        first_runs[name] = round(walls[0], 3)
         print(f"[bench] {name}: {timings[name]}s (runs: {[round(w, 2) for w in walls]})",
               file=sys.stderr, flush=True)
 
@@ -129,6 +131,7 @@ def main() -> int:
             shutil.rmtree(out_i, ignore_errors=True)
         pipe_sec = min(pipe_walls)
         timings["pipeline_e2e"] = round(pipe_sec, 3)
+        first_runs["pipeline_e2e"] = round(pipe_walls[0], 3)
         pages_per_sec = n_pages / pipe_sec
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -144,6 +147,10 @@ def main() -> int:
         "pages_rows": n_pages,
         "rows_routed": res.rows_routed,
         "cpus": cpus,
+        # first (cold) wall per query, so cross-round comparisons can be
+        # made protocol-for-protocol against single-run rounds.
+        "first_run_queries": first_runs,
+        "first_run_total": round(sum(first_runs.values()), 3),
     }))
     spark.stop()
     return 0

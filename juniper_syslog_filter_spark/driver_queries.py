@@ -826,7 +826,10 @@ ORACLE_SQL: dict[str, str] = {
                       THEN 1 ELSE 0 END AS ns
           FROM events
         )
-        SELECT user_id, sum(ns) AS n_sessions FROM g GROUP BY 1
+        -- CAST: DuckDB sums INTEGER into HUGEINT, which pandas renders as
+        -- float64 (56.0) while Spark returns bigint (56) -- identical values,
+        -- divergent hash repr. BIGINT matches Spark's sum-of-int result type.
+        SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions FROM g GROUP BY 1
     """,
     "w2_topk_per_group": """
         WITH j AS (

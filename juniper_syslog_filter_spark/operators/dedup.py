@@ -202,10 +202,17 @@ def minhash_doc_table(
         memo: dict[bytes, list[bytes]] = {}
         flat_seeds = [s for band in seeds for s in band]
 
+        # Slot 0 (the unseeded verify-fingerprint digest) is computed and
+        # memoized only when with_sig — the buckets-only path (d4
+        # candidates) never reads it, so skip its md5 + memo bytes.
+        sig_slots = 1 if with_sig else 0
+
         def digests(s: bytes) -> list[bytes]:
             got = memo.get(s)
             if got is None:
-                got = [md5(s).digest()] + [md5(seed + s).digest() for seed in flat_seeds]
+                got = [md5(seed + s).digest() for seed in flat_seeds]
+                if with_sig:
+                    got = [md5(s).digest()] + got
                 if len(memo) < 1_000_000:
                     memo[s] = got
             return got
@@ -216,7 +223,7 @@ def minhash_doc_table(
             out_sig: list[np.ndarray] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 ds = [digests(s.encode("utf-8")) for s in _py_char_shingles(text, k)]
-                si = 1
+                si = sig_slots
                 buckets = []
                 for _ in bands_idx:
                     row_mins = []
@@ -364,8 +371,11 @@ def sig_jaccard_udf():
 
 def shingle_jaccard_udf(k: int = 8):
     """Arrow-vectorized exact Jaccard of char-k shingle sets of two text
-    columns (pairwise form; prefer the signature-join path in
-    :func:`verify_pairs_jaccard` for anything bigger than a spot check).
+    columns. Pairwise two-arg (text_a, text_b) form for spot checks ONLY
+    — it is NOT compatible with :func:`verify_pairs_jaccard`, whose
+    ``sig_udf`` parameter takes a one-arg text→int64-array fingerprint
+    UDF (:func:`shingle_sig_udf`). For bulk verification use
+    ``verify_pairs_jaccard(df, cand, id, text, shingle_sig_udf(k), t)``.
     Set math == ``jaccard(char_shingles(a), char_shingles(b))`` (and the
     :func:`jaccard_sql` twin) exactly."""
 
@@ -393,9 +403,11 @@ def _py_word_ngrams(text: str, n: int) -> set[str]:
 
 
 def word_ngram_jaccard_udf(n: int = 2):
-    """Arrow-vectorized exact Jaccard of word n-gram sets (pairwise form;
-    twin of ``jaccard(word_ngrams(a), word_ngrams(b))`` / the SQL
-    builders). Prefer the signature-join path for bulk verification."""
+    """Arrow-vectorized exact Jaccard of word n-gram sets. Pairwise
+    two-arg (text_a, text_b) form for spot checks ONLY — NOT compatible
+    with :func:`verify_pairs_jaccard` (whose ``sig_udf`` is the one-arg
+    :func:`word_ngram_sig_udf`). Twin of
+    ``jaccard(word_ngrams(a), word_ngrams(b))`` / the SQL builders."""
 
     def fn(ta: pd.Series, tb: pd.Series) -> pd.Series:
         out = np.empty(len(ta), dtype=np.float64)

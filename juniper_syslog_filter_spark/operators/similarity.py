@@ -66,9 +66,13 @@ def cosine_pair_udf():
     the batch's pairs), so each pair's dot/norm folds left-to-right in
     IEEE double exactly like ``aggregate``/``list_dot_product``."""
 
-    def one(a: np.ndarray, b: np.ndarray) -> float:
+    def one(a, b) -> float:
+        # Null embeddings yield null (NaN -> Arrow null), matching the
+        # expression path's null-propagation instead of crashing.
+        if a is None or b is None:
+            return float("nan")
         dot = na = nb = 0.0
-        for x, y in zip(a, b):
+        for x, y in zip(np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)):
             dot += x * y
             na += x * x
             nb += y * y
@@ -78,12 +82,9 @@ def cosine_pair_udf():
         try:
             a = np.stack(ea.to_numpy()).astype(np.float64)
             b = np.stack(eb.to_numpy()).astype(np.float64)
-        except ValueError:
-            # ragged dims — per-pair left-to-right fallback
-            return pd.Series(
-                [one(x.astype(np.float64), y.astype(np.float64))
-                 for x, y in zip(ea, eb)]
-            )
+        except (ValueError, TypeError):
+            # ragged dims or null embeddings — per-pair fallback
+            return pd.Series([one(x, y) for x, y in zip(ea, eb)])
         n = a.shape[0]
         dot = np.zeros(n)
         na = np.zeros(n)

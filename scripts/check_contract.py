@@ -66,6 +66,14 @@ def main(sf_dir: str) -> int:
         )
         if status == "FAIL":
             failures.append(name)
+            if name in ("d2_minhash_lsh", "d4_ngram_jaccard"):
+                print(
+                    "    note: these verify Jaccard via 64-bit shingle "
+                    "fingerprints (collision bound ~1e-14 per corpus); a "
+                    "value mismatch here could be a fingerprint collision "
+                    "shifting jacc off the oracle's string-set value — "
+                    "see dedup.sig_jaccard_udf."
+                )
             if ok_cols and ok_count:
                 a = normalize(srows, scols)
                 b = normalize(drows, dcols)

@@ -10,11 +10,8 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from juniper_syslog_filter_spark.sinks import (
-    HAVE_XLSXWRITER,
-    export_xlsx,
-    write_stage_csv,
-)
+from juniper_syslog_filter_spark.sinks import export_xlsx, write_stage_csv
+from juniper_syslog_filter_spark.xlsx import read_xlsx_rows, read_xlsx_styles
 from juniper_syslog_filter_spark.sources import extract_zip_csvs, read_stage_csv
 from juniper_syslog_filter_spark.sources.zip_source import SYSLOG_COLUMNS
 
@@ -76,43 +73,33 @@ def test_csv_sink_source_roundtrip(spark, tmp_path):
     assert got == [("", "y", ""), ("a", "", "c")]  # '' preserved, order-free
 
 
-def test_export_xlsx_fallback_or_real(spark, tmp_path):
+def test_export_xlsx_real_file(spark, tmp_path):
     df = spark.createDataFrame([("x", "1")], "A string, B string")
     out = export_xlsx(df, str(tmp_path / "final"))
     assert len(out) == 1
-    if HAVE_XLSXWRITER:
-        assert out[0].endswith(".xlsx") and os.path.exists(out[0])
-    else:
-        assert out[0].endswith(".csv")
-        assert os.path.exists(out[0].replace(".csv", ".xlsx.MISSING"))
-        assert pd.read_csv(out[0], dtype=str).iloc[0].tolist() == ["x", "1"]
+    assert out[0].endswith(".xlsx") and os.path.exists(out[0])
+    header, rows = read_xlsx_rows(out[0])
+    assert header == ["A", "B"]
+    assert rows == [["x", "1"]]
 
 
 def test_export_xlsx_nulls_become_empty_string(spark, tmp_path):
     """''-for-null convention at the sink (reference na_rep='',
     modules/export_excel.py) — nulls must never surface as 'None'/'nan'
-    in either the xlsx cells or the CSV fallback."""
+    in the xlsx cells."""
     df = spark.createDataFrame([("x", None), (None, "y")], "A string, B string")
     out = export_xlsx(df, str(tmp_path / "final"))
-    got = pd.read_csv(out[0], dtype=str, keep_default_na=False) if out[0].endswith(".csv") else None
-    if got is None:
-        import openpyxl  # only reachable when xlsxwriter exists
-
-        ws = openpyxl.load_workbook(out[0]).active
-        vals = [[c.value for c in row] for row in ws.iter_rows(min_row=2)]
-        flat = [("" if v is None else v) for row in vals for v in row]
-    else:
-        flat = [v for _, row in got.iterrows() for v in row.tolist()]
+    _, rows = read_xlsx_rows(out[0])
+    flat = [v for row in rows for v in row]
     assert "None" not in flat and "nan" not in flat
     assert sorted(flat) == ["", "", "x", "y"]
 
 
 def test_export_xlsx_formatting_reference_asserts(spark, tmp_path):
     """Port of reference tests/test_export_excel.py:32-101 (font, bold
-    header, column-width clamp) — runs whenever the sandbox gains
-    xlsxwriter + openpyxl; skipped (not failed) until then."""
-    pytest.importorskip("xlsxwriter")
-    openpyxl = pytest.importorskip("openpyxl")
+    header, column-width clamp), asserted against the stdlib OOXML
+    writer's parts via read_xlsx_styles (openpyxl-free twin of
+    load_workbook)."""
     df = spark.createDataFrame(
         [
             ("2025-12-19T10:00:00Z", "srx-fw01", "CRITICAL", "RT_IDP_ATTACK_LOG: Attack detected"),
@@ -121,17 +108,20 @@ def test_export_xlsx_formatting_reference_asserts(spark, tmp_path):
         "Timestamp string, Hostname string, Severity string, Message string",
     )
     out = export_xlsx(df, str(tmp_path / "final"), font_name="Yu Gothic", font_size=11)
-    wb = openpyxl.load_workbook(out[0])
-    ws = wb.active
-    for cell in ws[1]:  # header row: bold + font contract
-        assert cell.font.bold is True
-        assert cell.font.name == "Yu Gothic"
-        assert cell.font.size == 11
-    for row in ws.iter_rows(min_row=2):  # body rows: font, not bold
+    header, rows = read_xlsx_rows(out[0])  # test_export_excel.py:32-49
+    assert header == ["Timestamp", "Hostname", "Severity", "Message"]
+    assert len(rows) == 2
+    assert [r[2] for r in rows] == ["CRITICAL", "CRITICAL"]
+    st = read_xlsx_styles(out[0])
+    for cell in st["cell_fonts"][0]:  # header row: bold + font contract
+        assert cell["bold"] is True
+        assert cell["name"] == "Yu Gothic"
+        assert cell["size"] == 11
+    for row in st["cell_fonts"][1:]:  # body rows: font, not bold
         for cell in row:
-            if cell.value:
-                assert cell.font.name == "Yu Gothic"
-                assert cell.font.size == 11
-    for column in ws.columns:  # width = clamp(maxlen, 10, 50)
-        width = ws.column_dimensions[column[0].column_letter].width
-        assert width is not None and 10 <= width <= 50
+            assert cell["name"] == "Yu Gothic"
+            assert cell["size"] == 11
+            assert cell["bold"] is False
+    assert len(st["col_widths"]) == 4  # every column has a set width
+    for width in st["col_widths"].values():  # clamp [10, 50]
+        assert 10 <= width <= 50
