@@ -384,6 +384,18 @@ def q_s3_lsh_ann(spark, sf_dir):
     )
 
 
+def q_s4_ivf_ann(spark, sf_dir):
+    """IVF ANN (the coarse-quantizer scale path beside s3's LSH):
+    8 deterministic centroids (lowest vec_ids, k-means stand-in),
+    argmax-cosine cell assignment, probe the 2 cells nearest the
+    query, exact cosine top-10 within them."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return S.ivf_ann_topk(
+        e.filter(F.col("vec_id") != 0), q, n_cells=8, n_probe=2, k=10
+    )
+
+
 def q_t4_lang_id(spark, sf_dir):
     """Language-ID heuristic: per-language stopword votes, argmax."""
     d = load_table(spark, sf_dir, "documents")
@@ -568,6 +580,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
     "s2_embed_neardup": q_s2_embed_neardup,
     "s3_lsh_ann": q_s3_lsh_ann,
+    "s4_ivf_ann": q_s4_ivf_ann,
     "t4_lang_id": q_t4_lang_id,
     "t5_rolling_fp": q_t5_rolling_fp,
     "t6_bpe_tokens": q_t6_bpe_tokens,
@@ -806,6 +819,34 @@ ORACLE_SQL: dict[str, str] = {
         SELECT vec_id,
                round({S.cosine_sql('embedding::DOUBLE[]', 'q_emb::DOUBLE[]')}, 6) AS cos_sim
         FROM cand
+        ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+    "s4_ivf_ann": f"""
+        WITH cents AS (
+          SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+          WHERE vec_id <> 0 ORDER BY vec_id ASC LIMIT 8
+        ),
+        asg AS (
+          SELECT e.vec_id, e.embedding, c.cent_id,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {S.cosine_sql('e.embedding::DOUBLE[]', 'c.cent_emb::DOUBLE[]')} DESC,
+                            c.cent_id ASC
+                 ) AS rn
+          FROM embeddings e CROSS JOIN cents c
+          WHERE e.vec_id <> 0
+        ),
+        cells AS (SELECT vec_id, embedding, cent_id AS cell FROM asg WHERE rn = 1),
+        q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        probe AS (
+          SELECT c.cent_id FROM cents c CROSS JOIN q
+          ORDER BY {S.cosine_sql('c.cent_emb::DOUBLE[]', 'q.q_emb::DOUBLE[]')} DESC,
+                   c.cent_id ASC
+          LIMIT 2
+        )
+        SELECT v.vec_id, v.cell,
+               round({S.cosine_sql('v.embedding::DOUBLE[]', 'q.q_emb::DOUBLE[]')}, 6) AS cos_sim
+        FROM cells v JOIN probe p ON v.cell = p.cent_id CROSS JOIN q
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
     """,
     "t4_lang_id": f"""

@@ -3,13 +3,19 @@ document fingerprinting, tokenization. All expressions have exact DuckDB
 SQL twins (returned by the ``*_sql`` helpers) so the driver's oracle
 gate verifies values.
 
-Everything is JVM-side Catalyst (whole-stage codegen); no Python in the
-hot path. Regex patterns use only ``\\w \\s`` on ASCII — identical
-semantics across Java regex and RE2.
+Tokenization is JVM-side Catalyst (whole-stage codegen). ``lang_id``
+and ``rolling_hash`` execute as Arrow-batched pandas_udf kernels — the
+same treatment as :func:`..operators.dedup.simhash` — because their
+pure-expression forms fold per-token / per-character through
+interpreted higher-order functions (the pattern that made d2/d3
+explode at scale). The ``*_expr`` twins remain the portable spec and
+the source of the DuckDB oracle SQL.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -30,7 +36,39 @@ _LANG_ORDER = ["en", "de", "es", "fr"]
 def lang_id(col: Column) -> Column:
     """Predicted language: argmax of per-language stopword hit counts
     over whitespace tokens; all-zero → 'und'. Ties resolve in the fixed
-    order en > de > es > fr (strictly-greater chain, deterministic)."""
+    order en > de > es > fr (strictly-greater chain, deterministic).
+
+    pandas_udf execution of the :func:`lang_id_expr` /
+    :func:`lang_id_sql` definition: one Arrow batch in, a numpy count
+    matrix (langs × rows) out, argmax with the priority order encoded
+    by iteration order. Null/empty text → 'und' (matches the
+    expression: null counts make every WHEN branch false)."""
+    order = list(_LANG_ORDER)
+    sets = [frozenset(STOPWORDS[lang]) for lang in order]
+
+    def fn(texts: pd.Series) -> pd.Series:
+        n = len(texts)
+        counts = np.zeros((len(order), n), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").split(" ")
+            for k, wset in enumerate(sets):
+                counts[k, i] = sum(tok in wset for tok in toks)
+        # argmax returns the FIRST maximal index — exactly the
+        # en > de > es > fr strictly-greater chain of the expression.
+        best = counts.argmax(axis=0)
+        out = np.where(
+            counts[best, np.arange(n)] > 0,
+            np.array(order, dtype=object)[best],
+            "und",
+        )
+        return pd.Series(out)
+
+    return F.pandas_udf(fn, "string")(col)
+
+
+def lang_id_expr(col: Column) -> Column:
+    """Pure-expression spec of :func:`lang_id` (interpreted HOFs — use
+    the pandas_udf form for execution)."""
     toks = F.split(col, " ")
 
     def in_set(words: list[str]):
@@ -78,6 +116,39 @@ _BASE = 31
 def rolling_hash(col: Column) -> Column:
     """Polynomial rolling hash over the character codes of ``col``:
     ``h = fold(chars, 0, (acc, c) -> (acc*31 + ascii(c)) % 1e9+7)``.
+
+    pandas_udf execution of the :func:`rolling_hash_expr` /
+    :func:`rolling_hash_sql` definition. The sequential Horner fold is
+    re-expressed as the closed form ``Σ code_i · 31^(n-1-i) mod p`` so
+    numpy evaluates a whole document in one vector op: code points via
+    a UTF-32 reinterpret (no per-char Python), a shared power table
+    grown on demand. Each term is < p ≈ 2^30, so an int64 sum is exact
+    up to ~9·10^9 characters per document. Null → 0 (the expression's
+    empty-fold seed; datagen text is non-null ASCII).
+    """
+    def fn(texts: pd.Series) -> pd.Series:
+        # powers[i] = 31^i mod p, grown to the batch's longest doc.
+        powers = np.ones(1, dtype=np.int64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            n = len(codes)
+            while len(powers) < n:
+                # Modular doubling: [31^0..31^(k-1)] + 31^k·same. Every
+                # product is < p² < 2^60 — exact in int64.
+                p_k = (powers[-1] * _BASE) % _MOD
+                powers = np.concatenate([powers, powers * p_k % _MOD])
+            out[i] = int((codes * powers[n - 1 :: -1] % _MOD).sum() % _MOD)
+        return pd.Series(out)
+
+    return F.pandas_udf(fn, "long")(col)
+
+
+def rolling_hash_expr(col: Column) -> Column:
+    """Pure-expression spec of :func:`rolling_hash` (interpreted
+    per-character HOF fold — use the pandas_udf form for execution).
 
     acc < 1e9+7 and ascii < 256 keep every intermediate < 2^63 — no
     overflow under ANSI mode, and both engines fold left-to-right over

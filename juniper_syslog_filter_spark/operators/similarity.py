@@ -196,6 +196,94 @@ def lsh_ann_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path.
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign_cells(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine, ties →
+    smaller cent_id): the IVF build pass. ``centroids`` is tiny
+    ((cent_id, cent_emb), the coarse quantizer) and broadcast, so the
+    cross product is a narrow map; the per-vector argmax is ONE partial
+    (map-side) aggregate — ``max_by`` over a (sim, -cent_id) struct —
+    no join-back, no window sort. At real scale the output (id, cell,
+    emb) is the stored, cell-partitioned index table.
+
+    Returns ``(id_col, cell, emb_col)``.
+    """
+    sim = cosine(
+        F.col(emb_col).cast("array<double>"), F.col("cent_emb").cast("array<double>")
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", sim)
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("_sim"), (-F.col("cent_id")).alias("_nc"))
+            ).alias("cell"),
+            # emb is functionally dependent on the group key.
+            F.first(emb_col).alias(emb_col),
+        )
+    )
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_col: str = "q_emb",
+) -> DataFrame:
+    """IVF ANN: probe the ``n_probe`` centroids nearest the query, scan
+    only vectors assigned to those cells, exact cosine top-k among them
+    (the FAISS IVF-flat dataflow re-expressed as DataFrames).
+
+    The coarse quantizer here is DETERMINISTIC — the ``n_cells``
+    lowest-id vectors stand in for an offline k-means so that both
+    engines (and reruns) build identical cells; swapping in trained
+    centroids changes only the ``centroids`` input, not the dataflow.
+    At scale: centroids broadcast; the cell column is stored and
+    partition-prunes the scan (only probed cells are read); the final
+    top-k is TakeOrderedAndProject (partial top-k per partition).
+    """
+    cents = (
+        embeddings.orderBy(F.asc(id_col))
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cent_id"), F.col(emb_col).alias("cent_emb"))
+    )
+    assigned = ivf_assign_cells(embeddings, cents, id_col=id_col, emb_col=emb_col)
+    q_sim = cosine(
+        F.col("cent_emb").cast("array<double>"), F.col(q_col).cast("array<double>")
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(query))
+        .select("cent_id", q_sim.alias("_qs"))
+        .orderBy(F.desc("_qs"), F.asc("cent_id"))
+        .limit(n_probe)
+        .select("cent_id")
+    )
+    sim = cosine(
+        F.col(emb_col).cast("array<double>"), F.col(q_col).cast("array<double>")
+    )
+    return (
+        assigned.join(F.broadcast(probes), assigned["cell"] == probes["cent_id"])
+        .crossJoin(F.broadcast(query))
+        .select(id_col, F.col("cell"), F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def lsh_blocked_neardup(
     embeddings: DataFrame,
     threshold: float = 0.4,

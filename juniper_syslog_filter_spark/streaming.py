@@ -23,9 +23,13 @@ path.
 
 from __future__ import annotations
 
+from typing import Any, Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .datagen import PAGES_SCHEMA, device_dim, severity_dim
 from .enrich import enrich
@@ -121,6 +125,96 @@ def start_agg_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+SESSION_SCHEMA = (
+    "user_id string, session_start timestamp, session_end timestamp, n_events long"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long"  # micros since epoch
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
+    30-min-gap sessionization per user — the streaming twin of the w1
+    batch query (driver_queries.q_w1_sessionize; same strictly-greater
+    microsecond gap test), but emitting full (start, end, n_events)
+    session rows as they CLOSE instead of a final per-user count.
+
+    Per micro-batch and key: sort the batch's event times, fold them
+    into the open session carried in state, emit every session whose
+    gap was exceeded, keep the still-open one in state with an
+    EVENT-TIME timeout at ``last + gap`` — when the watermark passes
+    that, the session provably cannot extend (any older event would be
+    late beyond the watermark and dropped), so the timeout path closes
+    and emits it. State per key is three longs — bounded regardless of
+    input rate; skew lands on the shuffle by ``user_col``, the same key
+    the batch twin shuffles on.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def emit(sessions: list[tuple[int, int, int]]) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(sessions),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
+                    "n_events": [n for _, _, n in sessions],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield emit([(start, last, n)])
+            return
+
+        ts: list[int] = []
+        for pdf in pdfs:
+            # .tolist() → plain Python ints: GroupState round-trips state
+            # through JSON, which rejects numpy scalars.
+            ts.extend(pdf[ts_col].to_numpy().astype("datetime64[us]").astype("int64").tolist())
+        ts.sort()
+        start: Any
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed: list[tuple[int, int, int]] = []
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:  # strictly greater — w1's gap test
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = max(last, t), n + 1
+        state.update((start, last, n))
+        # Event-time timeout: fires once the watermark passes last+gap.
+        state.setTimeoutTimestamp((last + gap_us) // 1000)
+        if closed:
+            yield emit(closed)
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
 
 
 def run_stream_once(

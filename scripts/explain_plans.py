@@ -117,6 +117,23 @@ def main(sf_dir: str) -> int:
         must_not=["BroadcastNestedLoopJoin", "CartesianProduct"],
     )
 
+    # 6. IVF ANN: the centroid cross product and the probe join are
+    #    broadcast (tiny side), the per-vector argmax is a partial
+    #    (map-side) max_by aggregate, the final top-k is
+    #    TakeOrderedAndProject — no shuffle-side sort, no cartesian on
+    #    fact×fact.
+    from juniper_syslog_filter_spark.operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    p = plan_of(ivf_ann_topk(emb.filter(F.col("vec_id") != 0), qv))
+    print(p)
+    failures += not check(
+        "ivf ann", p,
+        must=["TakeOrderedAndProject", "max_by", "BroadcastHashJoin", "partial_max_by"],
+        must_not=["SortMergeJoin", "CartesianProduct"],
+    )
+
     spark.stop()
     print("FAILURES:", failures)
     return 1 if failures else 0

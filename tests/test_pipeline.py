@@ -127,6 +127,37 @@ def test_idempotent_resume(spark, pages_path, tmp_path):
     assert log.agg(F.sum("rows_routed")).collect()[0][0] == total
 
 
+def test_crash_between_write_and_commit_replaces_not_duplicates(
+    spark, pages_path, tmp_path
+):
+    """The idempotency protocol's crash window (checkpoint.py:9-19): a
+    batch that dies AFTER the fan-out write but BEFORE the checkpoint
+    commit must be replaced, never duplicated, on re-run — the pending
+    set is unchanged, so the deterministic batch id recurs and dynamic
+    partition overwrite swaps the same batch partitions."""
+    import glob
+    import os
+
+    out = str(tmp_path / "out_crash")
+    res1 = run_pipeline(spark, pages_path, out)
+    total = spark.read.parquet(res1.routed_path).count()
+    assert total == res1.rows_routed
+
+    # Simulate the crash: sink data landed, commit file(s) never did.
+    commits = glob.glob(f"{out}/_checkpoint/*.parquet")
+    assert commits, "expected at least one commit file"
+    for c in commits:
+        os.remove(c)
+
+    res2 = run_pipeline(spark, pages_path, out)
+    assert res2.units_processed == res1.units_processed  # full replay
+    assert res2.batch_id == res1.batch_id  # deterministic batch key
+    # Replaced, not duplicated: exactly N rows, and agg matches the sink.
+    assert spark.read.parquet(res2.routed_path).count() == total
+    agg_total = spark.read.parquet(res2.agg_path).agg(F.sum("n")).collect()[0][0]
+    assert agg_total == total
+
+
 def test_incremental_new_files_only(spark, tmp_path):
     """New files appended to the source are processed as their own batch;
     old batches are untouched (idempotent, no duplication)."""

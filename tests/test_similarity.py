@@ -78,6 +78,35 @@ def test_lsh_ann_subset_of_brute_force_order(emb):
         assert bucket_of[r.vec_id] == qb
 
 
+def test_ivf_ann_matches_numpy_oracle(emb):
+    """IVF: cells, probes, and the pruned top-k all reproduce a numpy
+    re-implementation (deterministic centroids = lowest 8 vec_ids)."""
+    rest = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    got = S.ivf_ann_topk(rest, q, n_cells=8, n_probe=2, k=10).collect()
+
+    vecs = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v, _ in _vecs()}
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cent_ids = sorted(i for i in vecs if i != 0)[:8]
+    cell = {
+        i: min(cent_ids, key=lambda c: (-cos(vecs[i], vecs[c]), c))
+        for i in vecs
+        if i != 0
+    }
+    probes = sorted(cent_ids, key=lambda c: (-cos(vecs[c], vecs[0]), c))[:2]
+    cand = [i for i, cl in cell.items() if cl in probes]
+    expect = sorted(
+        ((i, cell[i], round(cos(vecs[i], vecs[0]), 6)) for i in cand),
+        key=lambda t: (-t[2], t[0]),
+    )[:10]
+    assert [(r.vec_id, r.cell, r.cos_sim) for r in got] == [
+        (i, cl, pytest.approx(s, abs=1e-6)) for i, cl, s in expect
+    ]
+
+
 def test_cosine_neardup_blocked_pairs(emb):
     pairs = S.cosine_neardup_pairs(emb, "label", threshold=0.99).collect()
     labels = {i: lab for i, _, lab in _vecs()}

@@ -39,8 +39,9 @@ def zip_dir(tmp_path):
     return str(d)
 
 
-def test_zip_extraction_rows_and_error_isolation(spark, zip_dir):
-    df = extract_zip_csvs(spark, zip_dir)
+@pytest.mark.parametrize("pm", [None, True, False])
+def test_zip_extraction_rows_and_error_isolation(spark, zip_dir, pm):
+    df = extract_zip_csvs(spark, zip_dir, per_member=pm)
     good = df.filter(F.col("_error") == "")
     bad = df.filter(F.col("_error") != "")
     assert good.count() == 3
@@ -48,6 +49,29 @@ def test_zip_extraction_rows_and_error_isolation(spark, zip_dir):
     errs = {os.path.basename(r.src_zip.replace("file:", "")): r._error for r in bad.collect()}
     assert "missing columns" in errs["b.zip"]
     assert "bad zip" in errs["c.zip"]
+
+
+def test_single_archive_fans_out_per_member(spark, tmp_path):
+    """One 24-member zip must parse on >1 core (VERDICT r2 nit #4): the
+    auto mode lists the central directory, explodes (zip, member), and
+    repartitions — identical rows to the per-archive blob path."""
+    d = tmp_path / "onezip"
+    d.mkdir()
+    row = {
+        "Timestamp": "2025-04-28T00:00:00Z", "Hostname": "srx-fw01",
+        "AppName": "RT_IDP", "SeverityLevel": "2", "Severity": "CRITICAL",
+        "LogType": "THREAT", "Message": "RT_IDP_ATTACK_LOG: x",
+    }
+    with zipfile.ZipFile(d / "day.zip", "w") as z:
+        for h in range(24):
+            z.writestr(f"h{h:02d}.csv", _mk_csv_bytes([{**row, "Hostname": f"fw{h}"}]))
+    fan = extract_zip_csvs(spark, str(d))  # auto → per-member (1 zip < parallelism)
+    assert fan.rdd.getNumPartitions() > 1
+    blob = extract_zip_csvs(spark, str(d), per_member=False)
+    assert blob.rdd.getNumPartitions() == 1
+    key = lambda r: (r.src_member, r.Hostname)  # noqa: E731
+    assert sorted(map(key, fan.collect())) == sorted(map(key, blob.collect()))
+    assert fan.count() == 24
 
 
 def test_zip_extraction_all_strings_empty_not_null(spark, tmp_path):

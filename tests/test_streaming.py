@@ -44,6 +44,60 @@ def test_stream_resume_processes_only_delta(spark, tmp_path, pages_dir):
     assert third["rows_routed"] == expect > first["rows_routed"]
 
 
+def test_sessionize_stream_matches_batch_oracle(spark, tmp_path):
+    """applyInPandasWithState sessionization == a pandas batch oracle.
+
+    A sentinel user's far-future event drives the watermark past every
+    real session's (last + gap) timeout, so all real sessions close —
+    either in-batch (gap exceeded) or via the event-time timeout path —
+    while the sentinel's own still-open session is the only one held
+    back."""
+    import datetime as dt
+
+    from juniper_syslog_filter_spark.streaming import sessionize_stream
+
+    t0 = dt.datetime(2025, 6, 1, 12, 0, 0)
+
+    def at(minutes, seconds=0):
+        return t0 + dt.timedelta(minutes=minutes, seconds=seconds)
+
+    rows = [
+        # u1: one session of 3, then a >30min gap, then a session of 1
+        ("u1", at(0)), ("u1", at(10)), ("u1", at(20)), ("u1", at(51)),
+        # u2: exactly 30:00 gap → SAME session (strictly-greater test)
+        ("u2", at(0)), ("u2", at(30)),
+        # u3: 30:00.000001-style gap → new session (one microsecond over)
+        ("u3", at(0)), ("u3", at(30, 0.000001)),
+        # sentinel pushes the watermark far past every timeout above
+        ("zz", at(60 * 24)),
+    ]
+    src = str(tmp_path / "events")
+    spark.createDataFrame(rows, "user_id string, ts timestamp").coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("user_id string, ts timestamp").parquet(src)
+    sessions = sessionize_stream(stream, gap_minutes=30, watermark_delay="1 second")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    expect = {
+        ("u1", at(0), at(20), 3),
+        ("u1", at(51), at(51), 1),
+        ("u2", at(0), at(30), 2),
+        ("u3", at(0), at(0), 1),
+        ("u3", at(30, 0.000001), at(30, 0.000001), 1),
+    }
+    assert got == expect
+
+
 def test_windowed_counts_match_batch_oracle(spark, pages_dir):
     # window() semantics validated on the static frame (same expression
     # the streaming path uses).

@@ -44,6 +44,32 @@ def test_rolling_hash_matches_python(spark):
         assert got[i] == py(t), t
 
 
+def test_kernels_match_expression_spec(spark):
+    """lang_id / rolling_hash execute as pandas_udf kernels; the
+    ``*_expr`` HOF forms remain the portable spec — both must agree on
+    a corpus covering ties, empties, long docs, and und."""
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "the cat and the dog", "der hund ist und", "el que y los",
+                "le et est une", "y et", "", "no stop words here",
+                "und der the a of", "x" * 3000, "mixed the der el le est",
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    out = df.select(
+        T.lang_id(F.col("t")).alias("k_lang"),
+        T.lang_id_expr(F.col("t")).alias("e_lang"),
+        T.rolling_hash(F.col("t")).alias("k_roll"),
+        T.rolling_hash_expr(F.col("t")).alias("e_roll"),
+    ).collect()
+    for r in out:
+        assert r.k_lang == r.e_lang
+        assert r.k_roll == r.e_roll
+
+
 def test_bpe_token_count_matches_re(spark):
     texts = ["hello, world!", "a.b.c", "no punct here", ""]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, t string")
