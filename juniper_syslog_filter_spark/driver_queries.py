@@ -468,6 +468,52 @@ def q_w4_asof_join(spark, sf_dir):
     return out.select("event_id", "user_id", F.col("o_orderkey").alias("last_orderkey"))
 
 
+def q_st1_sessionize_stream(spark, sf_dir):
+    """Stateful streaming sessionize (streaming.sessionize_stream:
+    ``applyInPandasWithState`` + event-time timeout) drained with
+    availableNow over the static events table, then read back. Emits
+    every session provably CLOSED under the final watermark (gap
+    exceeded in-batch, or timeout once the watermark passed last+gap).
+    Deterministic for a fixed input, but intentionally has NO SQL
+    oracle: the emitted set depends on watermark/timeout semantics
+    (ms-truncated timeout timestamps, strict-inequality firing) that an
+    ANSI query can't restate faithfully — the driver's rows-only check
+    plus the pytest batch-equivalence test
+    (tests/test_streaming.py::test_sessionize_stream_matches_batch_oracle)
+    cover it."""
+    import os
+    import tempfile
+
+    from .streaming import sessionize_stream
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    tmp = tempfile.mkdtemp(prefix="st1_")
+    # FileStreamSource requires a directory source; the testdata table is a
+    # single file — expose it through a symlinked directory (no copy).
+    src_dir = f"{tmp}/src"
+    os.makedirs(src_dir)
+    os.symlink(os.path.abspath(path), f"{src_dir}/events.parquet")
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    # testdata parquet stores ts as TIMESTAMP_NTZ (watermarks require
+    # TIMESTAMP) and bigint user_id (SESSION_SCHEMA keys by string).
+    events = stream.select(
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    sessions = sessionize_stream(events, gap_minutes=30, watermark_delay="1 second")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/out")
+
+
 def q_t7_doc_freq(spark, sf_dir):
     """Corpus document frequency: explode each doc's DISTINCT token set,
     count docs per token, top-50 (df desc, token asc) — the IDF building
@@ -590,6 +636,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w4_asof_join": q_w4_asof_join,
     "t7_doc_freq": q_t7_doc_freq,
     "mm1_media_meta": q_mm1_media_meta,
+    # rows-only (no SQL oracle — stateful streaming; see its docstring)
+    "st1_sessionize_stream": q_st1_sessionize_stream,
 }
 
 
