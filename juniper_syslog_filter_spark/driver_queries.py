@@ -30,6 +30,8 @@ from .functions import text as T
 from .functions.ip import classify_ip_expr
 from .operators import dedup as D
 from .operators import similarity as S
+from .operators.rangejoin import prior_window_count
+from .operators.sampling import group_quota
 
 # ---------------------------------------------------------------------------
 # Synthesized syslog message over events (shared Spark/SQL definition).
@@ -366,6 +368,50 @@ def q_d4_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_d5_simhash_hamming(spark, sf_dir):
+    """Simhash near-dup pairs via band self-join (exact for hamming <=
+    n_bands-1 by pigeonhole; Manku et al. WWW'07 dataflow) — the
+    hamming-distance complement of d2's Jaccard LSH."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_hamming_pairs(
+        d, "doc_id", "text", bits=32, n_bands=4, max_bucket=1000
+    )
+
+
+def q_sm1_source_quota(spark, sf_dir):
+    """Deterministic per-source quota sample: at most 10 docs per
+    source, ranked by md5(doc_id) — domain-mix balancing; hot-group skew
+    is bounded by Catalyst's WindowGroupLimit partial top-k pushdown
+    (see operators/sampling.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return group_quota(d, "source", "doc_id", k=10).select("doc_id", "source", "rk")
+
+
+def q_w5_range_join(spark, sf_dir):
+    """Banded time-range self-join: per event, the count of events in
+    the preceding 5 minutes (half-open) — the equi-bin + residual-filter
+    form of an inequality join (no BroadcastNestedLoop)."""
+    ev = load_table(spark, sf_dir, "events")
+    return prior_window_count(ev, "event_id", "ts", window_sec=300, out_col="n_prior")
+
+
+def q_t8_word_repetition(spark, sf_dir):
+    """Gopher-style repetition/quality stats per doc: word count,
+    distinct-word count, duplicate-word fraction, top-word fraction —
+    explode + two partial-agg shuffles, no per-doc Python."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    g = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    return g.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_word_frac"),
+    )
+
+
 def q_s2_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs blocked by the 4-plane LSH
     bucket (cos >= 0.4; the synthetic embeddings top out at ~0.49) —
@@ -623,6 +669,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s1_cosine_topk": q_s1_cosine_topk,
     "d2_minhash_lsh": q_d2_minhash_lsh,
     "d3_simhash": q_d3_simhash,
+    "d5_simhash_hamming": q_d5_simhash_hamming,
+    "sm1_source_quota": q_sm1_source_quota,
+    "w5_range_join": q_w5_range_join,
+    "t8_word_repetition": q_t8_word_repetition,
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
     "s2_embed_neardup": q_s2_embed_neardup,
     "s3_lsh_ann": q_s3_lsh_ann,
@@ -829,6 +879,59 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "d3_simhash": f"""
         SELECT doc_id, {D.simhash_sql('text', 32)} AS simhash32 FROM documents
+    """,
+    "d5_simhash_hamming": f"""
+        WITH sh AS (
+          SELECT doc_id, {D.simhash_sql('text', 32)} AS sh FROM documents
+        ),
+        bd AS (
+          SELECT doc_id, sh, i.band, (sh >> (8 * i.band)) & 255 AS bucket
+          FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) i
+        ),
+        ok AS (
+          SELECT band, bucket FROM bd GROUP BY 1, 2 HAVING count(*) <= 1000
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.sh AS sh_a, b.sh AS sh_b
+          FROM bd a
+          JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
+          JOIN bd b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+    "sm1_source_quota": """
+        SELECT doc_id, source, rk FROM (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS BIGINT) AS rk
+          FROM documents
+        ) WHERE rk <= 10
+    """,
+    "w5_range_join": """
+        SELECT e1.event_id,
+               count(e2.ts) AS n_prior
+        FROM events e1 LEFT JOIN events e2
+          ON e2.ts >= e1.ts - INTERVAL 5 MINUTE AND e2.ts < e1.ts
+        GROUP BY e1.event_id
+    """,
+    "t8_word_repetition": """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ),
+        g AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               count(*) AS n_distinct,
+               round(1 - count(*)::DOUBLE / sum(c), 6) AS dup_word_frac,
+               round(max(c)::DOUBLE / sum(c), 6) AS top_word_frac
+        FROM g GROUP BY doc_id
     """,
     "d4_ngram_jaccard": f"""
         {_LSH_CAND_CTE},

@@ -1,0 +1,65 @@
+"""Deterministic group-quota sampling — domain-mix balancing.
+
+A training-data pipeline caps how many documents any one source/domain
+may contribute (a handful of mega-hosts otherwise dominate a web
+corpus). The reference repo has no sampling surface (its datasets are
+bounded syslog archives); this operator is part of the added
+training-data family, like the dedup/ANN modules.
+
+Semantics: keep at most ``k`` rows per group, selected by a
+DETERMINISTIC pseudo-random order — md5 of the row id, tie-broken by
+the id — so the sample is reproducible run-to-run and restatable in
+ANSI SQL (``row_number() OVER (PARTITION BY group ORDER BY md5(id),
+id)``), unlike ``rand()``-based sampling.
+
+Scale design: a naive window puts ALL rows of a group through one
+reducer — a single hot domain with 10⁹ pages would straggle/OOM. On
+Spark 3.5+ the naive form is already safe: Catalyst's rank-limit
+pushdown rewrites ``row_number() <= k`` into ``WindowGroupLimit
+(Partial)`` BEFORE the shuffle (verified in this plan), so each map
+task ships at most k rows per group and the reducer sees ≤ k × #maps
+rows regardless of group size — the local-cap-then-global-cap shape of
+TakeOrdered, inserted by the optimizer. ``two_phase=True`` adds an
+explicit salted pre-rank ((group, hash(id) % n_salts) window) achieving
+the same bound manually; it costs one extra shuffle, so it is OFF by
+default and exists for engines/window predicates the pushdown rule
+doesn't cover (e.g. rank over non-limit predicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_key(id_col: str):
+    """Deterministic shuffle key: lowercase-hex md5 of the id's decimal
+    string (identical in Spark and DuckDB: md5(CAST(id AS VARCHAR)))."""
+    return F.md5(F.col(id_col).cast("string").cast("binary"))
+
+
+def group_quota(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    two_phase: bool = False,
+    n_salts: int = 64,
+) -> DataFrame:
+    """At most ``k`` rows per ``group_col`` value, deterministically
+    sampled; adds ``rk`` (1-based rank within the group, long)."""
+    key = _order_key(id_col)
+    if two_phase:
+        salt = F.pmod(F.hash(F.col(id_col)), F.lit(n_salts))
+        local = Window.partitionBy(F.col(group_col), salt).orderBy(
+            key, F.col(id_col)
+        )
+        df = (
+            df.withColumn("_lrk", F.row_number().over(local))
+            .filter(F.col("_lrk") <= k)
+            .drop("_lrk")
+        )
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return df.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= k
+    )

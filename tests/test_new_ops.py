@@ -1,0 +1,160 @@
+"""Unit tests for the round-3 training-pipeline operators: simhash
+hamming near-dup join, group-quota sampling, banded time-range join."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from juniper_syslog_filter_spark.operators.dedup import (
+    simhash,
+    simhash_hamming_pairs,
+)
+from juniper_syslog_filter_spark.operators.rangejoin import prior_window_count
+from juniper_syslog_filter_spark.operators.sampling import group_quota
+
+
+# ---------------------------------------------------------------------------
+# simhash_hamming_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_identical_docs_pair_at_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    out = simhash_hamming_pairs(df, "doc_id", "text").collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in out}
+    assert got.get((1, 2)) == 0
+    # the unrelated doc may or may not collide within 3 bits; it must
+    # never pair at distance 0
+    assert all(h > 0 for (a, b), h in got.items() if (a, b) != (1, 2))
+
+
+def test_simhash_recall_guarantee_under_threshold(spark):
+    """Pigeonhole recall: EVERY pair within hamming<=3 must be found.
+    Brute-force the full pair set from the fingerprints themselves."""
+    texts = [
+        "spark window merge batch",
+        "spark window merge batch join",
+        "stream table agg small",
+        "stream table agg small slow",
+        "alpha beta gamma delta",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sigs = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", simhash(F.col("text"), 32).alias("sh")).collect()
+    }
+    expect = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_hamming_pairs(df, "doc_id", "text").collect()
+    }
+    assert got == expect
+
+
+def test_simhash_bucket_cap_drops_degenerate_bucket(spark):
+    # 30 identical docs: every (band, bucket) holds 30 rows; cap 10
+    # drops them all -> no candidates survive
+    df = spark.createDataFrame(
+        [(i, "same text here") for i in range(30)], "doc_id long, text string"
+    )
+    assert simhash_hamming_pairs(df, "doc_id", "text", max_bucket=10).count() == 0
+    assert simhash_hamming_pairs(df, "doc_id", "text", max_bucket=None).count() == (
+        30 * 29
+    ) // 2
+
+
+# ---------------------------------------------------------------------------
+# group_quota
+# ---------------------------------------------------------------------------
+
+
+def _quota_oracle(rows, k):
+    by_g: dict = {}
+    for g, i in rows:
+        by_g.setdefault(g, []).append(i)
+    keep = set()
+    for g, ids in by_g.items():
+        ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        keep.update((g, i, rk + 1) for rk, i in enumerate(ids[:k]))
+    return keep
+
+
+@pytest.mark.parametrize("two_phase", [False, True])
+def test_group_quota_matches_oracle(spark, two_phase):
+    rows = [("a", i) for i in range(20)] + [("b", i) for i in range(100, 103)]
+    df = spark.createDataFrame(rows, "grp string, rid long")
+    out = group_quota(df, "grp", "rid", k=5, two_phase=two_phase).collect()
+    got = {(r.grp, r.rid, r.rk) for r in out}
+    assert got == _quota_oracle(rows, 5)
+    # group 'b' is under quota: all 3 rows kept
+    assert sum(1 for g, _, _ in got if g == "b") == 3
+
+
+def test_group_quota_two_phase_equals_single_phase(spark):
+    rows = [(f"g{i % 7}", i) for i in range(300)]
+    df = spark.createDataFrame(rows, "grp string, rid long")
+    one = {(r.grp, r.rid, r.rk) for r in group_quota(df, "grp", "rid", 4).collect()}
+    two = {
+        (r.grp, r.rid, r.rk)
+        for r in group_quota(df, "grp", "rid", 4, two_phase=True, n_salts=8).collect()
+    }
+    assert one == two
+
+
+# ---------------------------------------------------------------------------
+# prior_window_count
+# ---------------------------------------------------------------------------
+
+
+def test_prior_window_count_boundaries(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, t0),                      # nothing before
+        (2, t0 + 299 * s),            # sees 1 (299s ago, within 300)
+        (3, t0 + 300 * s),            # 1 EXACTLY 300s ago -> included; sees 2
+        (4, t0 + 301 * s),            # 1 is 301s ago -> excluded; sees 2,3
+        (5, t0 + 301 * s),            # same ts as 4: ts<ts strict -> not mutual
+        (6, t0 + 10_000 * s),         # isolated
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {
+        r.event_id: r.n_prior
+        for r in prior_window_count(df, "event_id", "ts", 300).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 2, 5: 2, 6: 0}
+
+
+def test_prior_window_count_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=rng.randrange(0, 3600)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {
+        r.event_id: r.n_prior
+        for r in prior_window_count(df, "event_id", "ts", 120).collect()
+    }
+    w = dt.timedelta(seconds=120)
+    expect = {
+        i: sum(1 for _, t2 in rows if t2 >= t - w and t2 < t) for i, t in rows
+    }
+    assert got == expect
