@@ -395,6 +395,49 @@ def q_w5_range_join(spark, sf_dir):
     return prior_window_count(ev, "event_id", "ts", window_sec=300, out_col="n_prior")
 
 
+def q_a2_rollup(spark, sf_dir):
+    """ROLLUP aggregate (day × event_type with subtotals + grand total)
+    — multi-level reporting in ONE pass: Spark expands grouping sets
+    map-side, so it's a single shuffle, not one job per level."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts").alias("d")
+    return ev.rollup(d, "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        # grouping_id disambiguates subtotal NULLs from data NULLs
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+def q_a3_percentiles(spark, sf_dir):
+    """Exact percentiles per group (F.percentile — linear interpolation,
+    the same definition as SQL quantile_cont). Exact quantiles need a
+    per-group sort; at 100 TB the approx_percentile sketch (t-digest,
+    mergeable map-side) is the scale path — exact is the oracle-checkable
+    contract here."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+def q_j3_semi_anti(spark, sf_dir):
+    """LEFT SEMI + LEFT ANTI joins (EXISTS / NOT EXISTS): customers
+    flagged by whether they have any order. Both plan to a single-column
+    hash join with no payload duplication — the fan-out-free existence
+    check (vs an inner join + distinct, which explodes then dedups)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cond = F.col("c_custkey") == F.col("o_custkey")
+    semi = c.join(o, cond, "left_semi").select(
+        "c_custkey", F.lit(True).alias("has_order")
+    )
+    anti = c.join(o, cond, "left_anti").select(
+        "c_custkey", F.lit(False).alias("has_order")
+    )
+    return semi.unionAll(anti)
+
+
 def q_t8_word_repetition(spark, sf_dir):
     """Gopher-style repetition/quality stats per doc: word count,
     distinct-word count, duplicate-word fraction, top-word fraction —
@@ -673,6 +716,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sm1_source_quota": q_sm1_source_quota,
     "w5_range_join": q_w5_range_join,
     "t8_word_repetition": q_t8_word_repetition,
+    "a2_rollup": q_a2_rollup,
+    "a3_percentiles": q_a3_percentiles,
+    "j3_semi_anti": q_j3_semi_anti,
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
     "s2_embed_neardup": q_s2_embed_neardup,
     "s3_lsh_ann": q_s3_lsh_ann,
@@ -919,6 +965,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM events e1 LEFT JOIN events e2
           ON e2.ts >= e1.ts - INTERVAL 5 MINUTE AND e2.ts < e1.ts
         GROUP BY e1.event_id
+    """,
+    "a2_rollup": """
+        SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n,
+               CAST(GROUPING(CAST(ts AS DATE), event_type) AS BIGINT) AS gid
+        FROM events
+        GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
+    """,
+    "a3_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.95), 6) AS p95
+        FROM events GROUP BY event_type
+    """,
+    "j3_semi_anti": """
+        SELECT c_custkey,
+               EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                 AS has_order
+        FROM customer c
     """,
     "t8_word_repetition": """
         WITH w AS (
