@@ -1,0 +1,133 @@
+"""Property-based (hypothesis) twin-equivalence tests.
+
+The engine keeps three definitions of every hot function — pandas_udf
+kernel (execution), Catalyst expression (portable spec), Python re/str
+(driver-local oracle) — and the fixed-corpus tests assert they agree on
+curated examples. These properties assert the same on RANDOM inputs:
+hypothesis drives adversarial strings (weird whitespace runs, stopword
+fragments, malformed IPs, boundary octets) through all twins at once.
+
+Each example batches its generated rows into ONE small Spark job;
+max_examples is kept low because a Spark round-trip costs ~0.2 s.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from juniper_syslog_filter_spark.functions import parse as P
+from juniper_syslog_filter_spark.functions import text as T
+from juniper_syslog_filter_spark.functions.ip import (
+    classify_ip_address,
+    classify_ip_expr,
+)
+from juniper_syslog_filter_spark.functions.text import STOPWORDS
+from juniper_syslog_filter_spark.operators.dedup import simhash, simhash_expr
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# Words biased toward collisions with the stopword lists plus arbitrary
+# ASCII tokens; joined with single spaces (the tokenizer's delimiter).
+_all_stopwords = sorted(set().union(*STOPWORDS.values()))
+_word = st.one_of(
+    st.sampled_from(_all_stopwords),
+    st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzüéñç0123456789", min_size=1, max_size=8
+    ),
+)
+_text = st.lists(_word, min_size=0, max_size=30).map(" ".join)
+
+
+@given(texts=st.lists(_text, min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_text_kernels_match_expressions(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    rows = df.select(
+        T.lang_id(F.col("t")).alias("k_lang"),
+        T.lang_id_expr(F.col("t")).alias("e_lang"),
+        T.rolling_hash(F.col("t")).alias("k_roll"),
+        T.rolling_hash_expr(F.col("t")).alias("e_roll"),
+        simhash(F.col("t"), 32).alias("k_sim"),
+        simhash_expr(F.col("t"), 32).alias("e_sim"),
+    ).collect()
+    for r in rows:
+        assert r.k_lang == r.e_lang
+        assert r.k_roll == r.e_roll
+        assert r.k_sim == r.e_sim
+
+
+# IPv4-shaped and garbage inputs: valid octets, boundary values around
+# the RFC-1918 edges, too-large octets, wrong arity, junk separators.
+_octet = st.one_of(
+    st.integers(min_value=0, max_value=255),
+    st.sampled_from([9, 10, 11, 171, 172, 173, 15, 16, 31, 32, 167, 168, 169]),
+    st.integers(min_value=256, max_value=999),
+)
+_ipish = st.one_of(
+    st.tuples(_octet, _octet, _octet, _octet).map(
+        lambda t: ".".join(map(str, t))
+    ),
+    st.tuples(_octet, _octet, _octet).map(lambda t: ".".join(map(str, t))),
+    st.sampled_from(["", " ", "...", "a.b.c.d", "10.0.0.1.2", "10..0.1"]),
+    st.text(alphabet="0123456789. ", min_size=0, max_size=16),
+)
+
+
+@given(ips=st.lists(_ipish, min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_ip_classifier_expr_matches_python(spark, ips):
+    df = spark.createDataFrame([(ip,) for ip in ips], "ip string")
+    rows = df.select("ip", classify_ip_expr(F.col("ip")).alias("cls")).collect()
+    for r in rows:
+        assert r.cls == classify_ip_address(r.ip), repr(r.ip)
+
+
+# Syslog-ish messages: grammar fragments permuted with noise so the
+# extraction regexes see matches, near-misses, and absent fields.
+_frag = st.one_of(
+    st.tuples(_octet, _octet, _octet, _octet, _octet, _octet, _octet, _octet).map(
+        lambda t: f"{t[0]}.{t[1]}.{t[2]}.{t[3]} > {t[4]}.{t[5]}.{t[6]}.{t[7]}"
+    ),
+    st.sampled_from(["TCP", "UDP", "ICMP", "protocol TCP", "protocol-id: 6"]),
+    st.sampled_from(
+        ["severity 5", "severity CRITICAL", "CRITICAL", "WARNING", "INFO"]
+    ),
+    st.text(alphabet="abcdef0123456789 .>:-", min_size=0, max_size=12),
+)
+_msg = st.lists(_frag, min_size=0, max_size=6).map(" ".join)
+
+
+@given(msgs=st.lists(_msg, min_size=1, max_size=10))
+@settings(**SETTINGS)
+def test_parse_exprs_match_python_re(spark, msgs):
+    df = spark.createDataFrame([(m,) for m in msgs], "Message string")
+    src, dst = P.split_ip_exprs(P.extract_routing_expr(F.col("Message")))
+    rows = df.select(
+        "Message",
+        P.extract_routing_expr(F.col("Message")).alias("routing"),
+        src.alias("srcIP"),
+        dst.alias("dstIP"),
+        P.extract_protocol_expr(F.col("Message")).alias("protocol"),
+        P.extract_severity_level_expr(F.col("Message")).alias("lvl"),
+        P.extract_severity_expr(F.col("Message")).alias("sev"),
+    ).collect()
+    for r in rows:
+        m = re.search(P.ROUTING_PATTERN, r.Message)
+        routing = f"{m.group(1)} > {m.group(2)}" if m else ""
+        assert r.routing == routing, repr(r.Message)
+        assert r.srcIP == (m.group(1) if m else "")
+        assert r.dstIP == (m.group(2) if m else "")
+        pm = re.search(P.PROTOCOL_PATTERN, r.Message)
+        assert r.protocol == (pm.group(1) if pm else "")
+        lm = re.search(P.SEVERITY_LEVEL_PATTERN, r.Message)
+        assert r.lvl == (lm.group(1) if lm else "")
+        sm = re.search(P.SEVERITY_PATTERN, r.Message)
+        assert r.sev == (sm.group(1) if sm else "")
