@@ -1,0 +1,88 @@
+"""Physical-plan audits: assert the optimizations the 100-TB design
+depends on actually appear in the executed plan — partition pruning on
+the route-partitioned sink, parquet filter/column pushdown, broadcast
+(not sort-merge) dim joins, no nested-loop joins in the banded range
+join, and WindowGroupLimit pushdown in the quota sampler. A regression
+in any of these is invisible at test scale but fatal at cluster scale,
+which is exactly why they're pinned here."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from juniper_syslog_filter_spark.datagen import load_table, write_pages
+from juniper_syslog_filter_spark.driver_queries import QUERIES
+from juniper_syslog_filter_spark.pipeline import run_pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_routed_sink_partition_pruning(spark, tmp_path):
+    """Reading one severity from the fan-out sink must prune partitions
+    (PartitionFilters on Severity), not scan-and-filter."""
+    pages = str(tmp_path / "pages")
+    write_pages(spark, pages, 2000, num_partitions=4)
+    run_pipeline(spark, pages, str(tmp_path / "out"), incremental=False)
+    routed = spark.read.parquet(str(tmp_path / "out" / "routed"))
+    q = routed.filter(F.col("Severity") == "CRITICAL")
+    plan = _plan(q)
+    assert "PartitionFilters" in plan
+    # the Severity predicate lands in PartitionFilters, not PushedFilters
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "Severity" in pf
+    assert q.count() > 0
+
+
+def test_parquet_scan_pushdown_and_pruning(spark):
+    """A 2-column projection + filter must reach the scan: ReadSchema
+    carries only the projected columns, PushedFilters the predicate."""
+    q = (
+        load_table(spark, SF, "orders")
+        .filter(F.col("o_totalprice") > 100.0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = _plan(q)
+    rs = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "o_orderkey" in rs and "o_totalprice" in rs
+    assert "o_orderdate" not in rs, "column pruning failed"
+    pf = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "o_totalprice" in pf, "predicate pushdown failed"
+
+
+def test_enrich_join_is_broadcast_not_sortmerge(spark):
+    plan = _plan(QUERIES["j1_broadcast_enrich"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_has_no_nested_loop(spark):
+    plan = _plan(QUERIES["w5_range_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quota_sampler_has_windowgrouplimit_pushdown(spark):
+    """Catalyst must insert the partial top-k below the shuffle (the
+    property group_quota's single-window design relies on)."""
+    plan = _plan(QUERIES["sm1_source_quota"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    partial_idx = plan.find("Partial")
+    exchange_idx = plan.find("Exchange hashpartitioning")
+    assert partial_idx != -1 and exchange_idx != -1
+    # plans print top-down: the Partial limit appears BELOW (after) the
+    # Exchange line in text, meaning it executes before the shuffle
+    assert partial_idx > exchange_idx
+
+
+def test_semi_anti_join_no_payload_fanout(spark):
+    """j3 must plan as semi/anti hash joins (existence checks), never an
+    inner join + distinct."""
+    plan = _plan(QUERIES["j3_semi_anti"](spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    # an inner-join-then-distinct formulation would show an aggregate
+    assert "HashAggregate" not in plan
