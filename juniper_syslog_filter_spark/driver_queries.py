@@ -485,6 +485,39 @@ def q_s4_ivf_ann(spark, sf_dir):
     )
 
 
+def q_s5_semantic_dedup(spark, sf_dir):
+    """SemDeDup: IVF-cell clustering + within-cell cosine near-dup;
+    keep = no lower-id neighbor at cos >= 0.4 in the same cell."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(e, n_cells=8, threshold=0.4)
+
+
+def q_pk1_sequence_packing(spark, sf_dir):
+    """Greedy sequence packing (concat-then-chunk): per source, in
+    doc_id order, running token total; a doc's chunk_id is the 256-
+    token window its first token lands in — the standard pretraining
+    packing boundary (256-token windows here so the synthetic corpus
+    actually crosses chunk boundaries). Pure window cumsum, one
+    shuffle on source."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    return d.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tok"),
+        cum.alias("cum_tok"),
+        F.floor((cum - n_tok) / F.lit(256)).cast("long").alias("chunk_id"),
+    )
+
+
 def q_t4_lang_id(spark, sf_dir):
     """Language-ID heuristic: per-language stopword votes, argmax."""
     d = load_table(spark, sf_dir, "documents")
@@ -719,6 +752,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a2_rollup": q_a2_rollup,
     "a3_percentiles": q_a3_percentiles,
     "j3_semi_anti": q_j3_semi_anti,
+    "s5_semantic_dedup": q_s5_semantic_dedup,
+    "pk1_sequence_packing": q_pk1_sequence_packing,
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
     "s2_embed_neardup": q_s2_embed_neardup,
     "s3_lsh_ann": q_s3_lsh_ann,
@@ -1063,6 +1098,41 @@ ORACLE_SQL: dict[str, str] = {
                round({S.cosine_sql('v.embedding::DOUBLE[]', 'q.q_emb::DOUBLE[]')}, 6) AS cos_sim
         FROM cells v JOIN probe p ON v.cell = p.cent_id CROSS JOIN q
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+    "s5_semantic_dedup": f"""
+        WITH cents AS (
+          SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+          ORDER BY vec_id ASC LIMIT 8
+        ),
+        asg AS (
+          SELECT e.vec_id, e.embedding, c.cent_id,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {S.cosine_sql('e.embedding::DOUBLE[]', 'c.cent_emb::DOUBLE[]')} DESC,
+                            c.cent_id ASC
+                 ) AS rn
+          FROM embeddings e CROSS JOIN cents c
+        ),
+        cells AS (SELECT vec_id, embedding, cent_id AS cell FROM asg WHERE rn = 1),
+        dup AS (
+          SELECT DISTINCT b.vec_id
+          FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round({S.cosine_sql('a.embedding::DOUBLE[]', 'b.embedding::DOUBLE[]')}, 6) >= 0.4
+        )
+        SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS keep
+        FROM cells c LEFT JOIN dup d ON c.vec_id = d.vec_id
+    """,
+    "pk1_sequence_packing": """
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(sum(len(string_split(text, ' '))) OVER w AS BIGINT)
+                 AS cum_tok,
+               CAST((sum(len(string_split(text, ' '))) OVER w
+                     - len(string_split(text, ' '))) // 256 AS BIGINT)
+                 AS chunk_id
+        FROM documents
+        WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     "t4_lang_id": f"""
         SELECT doc_id, lang, {T.lang_id_sql('text')} AS pred_lang FROM documents

@@ -337,3 +337,54 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) dataflow: coarse-
+    cluster the corpus, compare embeddings only WITHIN a cluster, and
+    drop every vector that is semantically redundant with a retained
+    one. Returns (``id_col``, ``cell``, ``keep``) for ALL input rows.
+
+    The keep rule is deterministic and order-free: a vector is dropped
+    iff some LOWER-id vector in its cell has cosine ≥ threshold with it
+    (lowest id of every near-dup chain survives — same tie policy as
+    exact_dedup's min-keeper). Clustering reuses the IVF coarse
+    quantizer (:func:`ivf_assign_cells`, deterministic lowest-id
+    centroids standing in for offline k-means), and the within-cell
+    pair scan reuses :func:`cosine_neardup_pairs` — pair count is
+    Σ cell_size², never n². At 100 TB the cells come from a trained
+    quantizer and the assignment table is stored cell-partitioned, so
+    the pair scan is per-cell-partition local work; degenerate cells
+    are bounded by the quantizer's balance, the knob SemDeDup itself
+    relies on.
+
+    Eagerly materialized for the same 3-subtree-race reason documented
+    at lsh_candidate_pairs (both self-join sides + the output join all
+    reference the kernel output).
+    """
+    cents = (
+        embeddings.orderBy(F.asc(id_col))
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cent_id"), F.col(emb_col).alias("cent_emb"))
+    )
+    assigned = ivf_assign_cells(
+        embeddings, cents, id_col=id_col, emb_col=emb_col
+    ).localCheckpoint(eager=True)
+    dup_ids = (
+        cosine_neardup_pairs(
+            assigned, "cell", threshold=threshold, id_col=id_col, emb_col=emb_col
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dup_ids, id_col, "left")
+        .select(id_col, "cell", F.col("_dup").isNull().alias("keep"))
+    )
