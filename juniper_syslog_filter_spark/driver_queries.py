@@ -636,6 +636,62 @@ def q_st1_sessionize_stream(spark, sf_dir):
     return spark.read.parquet(f"{tmp}/out")
 
 
+def q_st2_stream_dedup(spark, sf_dir):
+    """STREAMING exact dedup — the exactly-once corpus-dedup front of a
+    crawl ingest: stream the documents table, fingerprint each text
+    (md5), ``dropDuplicates`` on the fingerprint (streaming state =
+    seen-fingerprint set, sharded by the fingerprint shuffle), drain
+    availableNow to parquet. Unlike st1, this IS oracle-checkable: the
+    emitted set is exactly the distinct fingerprint set regardless of
+    micro-batch boundaries or arrival order, so the DuckDB twin is a
+    plain SELECT DISTINCT. At real scale the watermarked variant
+    (``dropDuplicatesWithinWatermark``) bounds the state to the dedup
+    horizon; the unbounded form here matches the batch-exact oracle."""
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    tmp = tempfile.mkdtemp(prefix="st2_")
+    src_dir = f"{tmp}/src"
+    os.makedirs(src_dir)
+    os.symlink(os.path.abspath(path), f"{src_dir}/documents.parquet")
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    deduped = (
+        stream.select(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .dropDuplicates(["fp"])
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/out")
+
+
+def q_a4_pivot(spark, sf_dir):
+    """Pivot (long→wide): per-user event counts, one column per event
+    type. The value list is EXPLICIT — with it, Spark pivots in a
+    single pass (no extra distinct-values job) and the output schema is
+    static, which is what a 100-TB job needs anyway."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for absent combos; report 0 like the oracle
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
 def q_t7_doc_freq(spark, sf_dir):
     """Corpus document frequency: explode each doc's DISTINCT token set,
     count docs per token, top-50 (df desc, token asc) — the IDF building
@@ -769,6 +825,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm1_media_meta": q_mm1_media_meta,
     # rows-only (no SQL oracle — stateful streaming; see its docstring)
     "st1_sessionize_stream": q_st1_sessionize_stream,
+    # streaming dedup — oracle-checkable (drain-order-invariant output)
+    "st2_stream_dedup": q_st2_stream_dedup,
+    "a4_pivot": q_a4_pivot,
 }
 
 
@@ -1098,6 +1157,18 @@ ORACLE_SQL: dict[str, str] = {
                round({S.cosine_sql('v.embedding::DOUBLE[]', 'q.q_emb::DOUBLE[]')}, 6) AS cos_sim
         FROM cells v JOIN probe p ON v.cell = p.cent_id CROSS JOIN q
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+    "st2_stream_dedup": """
+        SELECT DISTINCT md5(text) AS fp FROM documents
+    """,
+    "a4_pivot": """
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+               count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+               count(*) FILTER (WHERE event_type = 'view')     AS n_view
+        FROM events GROUP BY user_id
     """,
     "s5_semantic_dedup": f"""
         WITH cents AS (
