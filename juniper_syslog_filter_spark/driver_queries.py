@@ -780,6 +780,177 @@ def q_mm1_media_meta(spark, sf_dir):
     return media_metadata(d, id_col="doc_id", content_col="content")
 
 
+def q_j4_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped 3-way join + aggregate + top-k (customer ⋈
+    orders ⋈ lineitem): segment/date filters push to the scans, the two
+    joins shuffle on their keys (AQE picks broadcast for the filtered
+    customer side when it fits), and the top-10 is
+    TakeOrderedAndProject — local heap per partition, no global sort.
+    Revenue is rounded BEFORE the ordering so both engines rank the
+    same values; ties break on l_orderkey."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_j5_region_volume(spark, sf_dir):
+    """TPC-H Q5-shaped 6-way join (customer ⋈ orders ⋈ lineitem ⋈
+    supplier ⋈ nation ⋈ region) with the local-supplier constraint
+    ``c_nationkey = s_nationkey``. nation/region (and supplier at this
+    sf) broadcast; the fact-side joins shuffle on their keys and
+    Catalyst orders them — the classic join-reordering/broadcast
+    showcase the single-table reference never needed."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .join(
+            s,
+            (l["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_sp1_train_split(spark, sf_dir):
+    """Deterministic train/val/test hash split
+    (operators/sampling.train_val_split): md5-bucket assignment, then
+    the per-(split, lang) census a data card reports. Narrow projection
+    + one partial-agg shuffle; identical assignment on any engine or
+    rerun — the property randomSplit can't give."""
+    from .operators.sampling import train_val_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        train_val_split(d, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def q_ct1_contamination(spark, sf_dir):
+    """Benchmark decontamination (operators/contamination.py): docs
+    sharing any verbatim word 4-gram with the 'benchmark' subset
+    (doc_id % 97 = 0 stands in for the eval suite). Benchmark gram set
+    broadcasts; corpus grams dedupe per doc before the map-side join.
+    4-grams (not the 8-13 of real text) because the synthetic corpus
+    draws from a ~40-word vocabulary — same operator, scaled threshold."""
+    from .operators.contamination import contaminated_docs
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contaminated_docs(corpus, bench, "doc_id", "text", n=4)
+
+
+def q_fl1_quality_filter(spark, sf_dir):
+    """C4/Gopher-style quality-filter cascade
+    (functions/text.quality_rule_expr): label every doc with the first
+    rule it violates, then the per-rule drop census — the standard
+    filtering dashboard. One expression pass + one partial-agg shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            T.quality_rule_expr(F.col("text"), F.col("n_chars")).alias("rule"),
+            "n_chars",
+        )
+        .groupBy("rule")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def q_st3_stream_window(spark, sf_dir):
+    """STREAMING tumbling-window aggregate with a watermark — the
+    readStream twin of w3: 1-hour windows × event_type counts in append
+    mode, drained availableNow. Emitted = windows CLOSED under the
+    final watermark (max event time − 1 s); Spark's no-data micro-batch
+    (on by default) advances the watermark after the last data batch so
+    the flush is deterministic. Oracle-checkable because the emitted
+    set depends only on max(ts), restated in SQL as
+    ``HAVING win_end <= max(ts) - INTERVAL 1 SECOND``. The final
+    in-flight hour stays in state — exactly what a continuous pipeline
+    wants (it would emit when the next hour's data arrives)."""
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    tmp = tempfile.mkdtemp(prefix="st3_")
+    src_dir = f"{tmp}/src"
+    os.makedirs(src_dir)
+    os.symlink(os.path.abspath(path), f"{src_dir}/events.parquet")
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    agg = (
+        stream.select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        )
+        .withWatermark("ts", "1 second")
+        .groupBy(F.window(F.col("ts"), "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window")["start"].alias("win_start"), "event_type", "n"
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{tmp}/out")
+    # session tz is UTC → ntz cast is value-preserving; matches w3's
+    # (and the oracle's) naive-timestamp win_start.
+    return out.select(
+        F.col("win_start").cast("timestamp_ntz").alias("win_start"),
+        "event_type",
+        "n",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_filter_keyword": q_p1_filter_keyword,
     "p2_filter_severity": q_p2_filter_severity,
@@ -823,10 +994,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w4_asof_join": q_w4_asof_join,
     "t7_doc_freq": q_t7_doc_freq,
     "mm1_media_meta": q_mm1_media_meta,
+    "j4_shipping_priority": q_j4_shipping_priority,
+    "j5_region_volume": q_j5_region_volume,
+    "sp1_train_split": q_sp1_train_split,
+    "ct1_contamination": q_ct1_contamination,
+    "fl1_quality_filter": q_fl1_quality_filter,
     # rows-only (no SQL oracle — stateful streaming; see its docstring)
     "st1_sessionize_stream": q_st1_sessionize_stream,
     # streaming dedup — oracle-checkable (drain-order-invariant output)
     "st2_stream_dedup": q_st2_stream_dedup,
+    # streaming windowed agg — oracle-checkable (emitted set = closed windows)
+    "st3_stream_window": q_st3_stream_window,
     "a4_pivot": q_a4_pivot,
 }
 
@@ -1160,6 +1338,78 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "st2_stream_dedup": """
         SELECT DISTINCT md5(text) AS fp FROM documents
+    """,
+    "st3_stream_window": """
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               count(*) AS n
+        FROM events
+        GROUP BY 1, 2
+        HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+               <= (SELECT max(ts) - INTERVAL 1 SECOND FROM events)
+    """,
+    "j4_shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < '1998-01-01'
+          AND l_shipdate > '1998-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "j5_region_volume": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= '1996-01-01' AND o_orderdate < '1999-01-01'
+        GROUP BY 1
+    """,
+    "sp1_train_split": """
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split:42'), 1, 2) < '0d' THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split:42'), 1, 2) < '1a' THEN 'val'
+                    ELSE 'train' END AS split,
+               lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    "ct1_contamination": """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(ws[CAST(i AS INT):CAST(i + 3 AS INT)], ' ') AS gram
+          FROM (
+            SELECT doc_id, ws,
+                   unnest(range(1, greatest(len(ws) - 2, 1))) AS i
+            FROM w
+          )
+          WHERE len(ws) >= 4
+        ),
+        bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        SELECT g.doc_id, count(*) AS n_shared
+        FROM g JOIN bench b ON g.gram = b.gram
+        WHERE g.doc_id % 97 <> 0
+        GROUP BY 1
+    """,
+    "fl1_quality_filter": f"""
+        SELECT {T.quality_rule_sql('text', 'n_chars')} AS rule,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1
     """,
     "a4_pivot": """
         SELECT user_id,

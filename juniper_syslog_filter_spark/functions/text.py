@@ -201,3 +201,64 @@ def bpe_token_count_sql(expr: str) -> str:
 def ws_token_count(col: Column) -> Column:
     """Whitespace token count (the t1 driver query's tokenizer)."""
     return F.size(F.split(col, " "))
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter rule cascade (C4 / Gopher style).
+# ---------------------------------------------------------------------------
+
+# First matching rule wins; a doc matching none is kept. Thresholds are
+# tuned to the synthetic corpus so every bucket is exercised; on real
+# web text they'd be the published C4/Gopher values (min words, max
+# chars, mean-word-length band, stopword floor).
+QUALITY_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def quality_rule_expr(text: Column, n_chars: Column) -> Column:
+    """Label each document with the FIRST quality rule it violates —
+    ``too_short`` / ``too_long`` / ``word_len`` / ``low_stopword`` —
+    or ``keep``. Pure Catalyst expression (one pass, no shuffle, no
+    Python); the per-rule drop census is the standard data-quality
+    dashboard of a filtering pipeline.
+
+    Every operand is engine-portable: integer counts, one double
+    division (identical IEEE result), and a HOF ``filter`` over the
+    space tokenization (cheap here — a handful of comparisons per
+    token, unlike the per-character folds that needed kernels)."""
+    ws = F.split(text, " ")
+    nw = F.size(ws)
+    # mean word length over single-space-joined text: (chars - spaces)/words
+    mwl = (F.length(text) - nw + 1).cast("double") / nw.cast("double")
+    stop_frac = (
+        F.size(
+            F.filter(
+                ws, lambda w: w.isin(*QUALITY_STOPWORDS)
+            )
+        ).cast("double")
+        / nw.cast("double")
+    )
+    return (
+        F.when(nw < 40, "too_short")
+        .when(n_chars > 450, "too_long")
+        .when((mwl < 4.05) | (mwl > 4.6), "word_len")
+        .when(stop_frac < 0.04, "low_stopword")
+        .otherwise("keep")
+    )
+
+
+def quality_rule_sql(text: str, n_chars: str) -> str:
+    """DuckDB twin of :func:`quality_rule_expr`."""
+    ws = f"string_split({text}, ' ')"
+    stops = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    mwl = f"(length({text}) - len({ws}) + 1)::DOUBLE / len({ws})::DOUBLE"
+    stop_frac = (
+        f"len(list_filter({ws}, w -> w IN ({stops})))::DOUBLE"
+        f" / len({ws})::DOUBLE"
+    )
+    return f"""
+        CASE WHEN len({ws}) < 40 THEN 'too_short'
+             WHEN {n_chars} > 450 THEN 'too_long'
+             WHEN {mwl} < 4.05 OR {mwl} > 4.6 THEN 'word_len'
+             WHEN {stop_frac} < 0.04 THEN 'low_stopword'
+             ELSE 'keep' END
+    """

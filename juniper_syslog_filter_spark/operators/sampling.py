@@ -63,3 +63,40 @@ def group_quota(
     return df.withColumn("rk", F.row_number().over(w).cast("long")).filter(
         F.col("rk") <= k
     )
+
+
+def train_val_split(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "split:42",
+    test_hex: str = "0d",
+    val_hex: str = "1a",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the standard
+    hash-bucket split of a training corpus (every engine/rerun must put
+    each document in the SAME split; ``rand()``/``randomSplit`` can't
+    promise that across replans or engines).
+
+    Bucket = first two lowercase-hex chars of ``md5(id || ':' || salt)``
+    compared lexicographically: ``< test_hex`` → test, ``< val_hex`` →
+    val, else train. Defaults carve 13/256 ≈ 5.1% each for test and val.
+    Restatable verbatim in ANSI SQL (``substr(md5(...), 1, 2)``), and a
+    pure narrow projection at scale: no shuffle, no state, split
+    fractions tunable per two-hex-digit step.
+
+    Adds a ``split`` string column; never drops rows."""
+    bucket = F.substring(
+        F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)).cast(
+                "binary"
+            )
+        ),
+        1,
+        2,
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < test_hex, "test")
+        .when(bucket < val_hex, "val")
+        .otherwise("train"),
+    )

@@ -158,3 +158,116 @@ def test_prior_window_count_matches_bruteforce(spark):
         i: sum(1 for _, t2 in rows if t2 >= t - w and t2 < t) for i, t in rows
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# train_val_split
+# ---------------------------------------------------------------------------
+
+
+def test_train_val_split_deterministic_and_lossless(spark):
+    from juniper_syslog_filter_spark.operators.sampling import train_val_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = train_val_split(df, "doc_id")
+    rows = {r.doc_id: r.split for r in out.collect()}
+    assert len(rows) == 1000  # never drops or duplicates
+    again = {r.doc_id: r.split for r in train_val_split(df, "doc_id").collect()}
+    assert rows == again  # reproducible run-to-run
+    # matches the spec: first 2 hex chars of md5("<id>:split:42")
+    for i in (0, 1, 7, 999):
+        hx = hashlib.md5(f"{i}:split:42".encode()).hexdigest()[:2]
+        want = "test" if hx < "0d" else ("val" if hx < "1a" else "train")
+        assert rows[i] == want
+    # fractions near 13/256 each for test/val
+    from collections import Counter
+
+    c = Counter(rows.values())
+    assert 20 <= c["test"] <= 90 and 20 <= c["val"] <= 90
+    assert c["train"] > 800
+
+
+def test_train_val_split_salt_changes_assignment(spark):
+    from juniper_syslog_filter_spark.operators.sampling import train_val_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = {r.doc_id: r.split for r in train_val_split(df, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in train_val_split(df, "doc_id", salt="other").collect()
+    }
+    assert a != b
+
+
+# ---------------------------------------------------------------------------
+# contamination
+# ---------------------------------------------------------------------------
+
+
+def test_word_ngram_array_exact_and_short_doc(spark):
+    from juniper_syslog_filter_spark.operators.contamination import (
+        word_ngram_array,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b"), (3, "")], "id long, text string"
+    )
+    out = {
+        r.id: r.g
+        for r in df.select(
+            "id", word_ngram_array(F.col("text"), 3).alias("g")
+        ).collect()
+    }
+    assert out[1] == ["a b c", "b c d", "c d e"]
+    assert out[2] == []  # shorter than n -> empty, no error
+    assert out[3] == []
+
+
+def test_contaminated_docs_finds_verbatim_overlap(spark):
+    from juniper_syslog_filter_spark.operators.contamination import (
+        contaminated_docs,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "he saw the quick brown fox jumps"),  # shares both bench 4-grams
+            (2, "the quick brown fox the quick brown fox"),  # repeats -> 1 distinct
+            (3, "entirely different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_shared
+        for r in contaminated_docs(corpus, bench, "doc_id", "text", n=4).collect()
+    }
+    assert got == {1: 2, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# quality rule cascade
+# ---------------------------------------------------------------------------
+
+
+def test_quality_rule_first_match_wins(spark):
+    from juniper_syslog_filter_spark.functions.text import quality_rule_expr
+
+    # 48 words, mean word length 26/6 ≈ 4.33 (inside the band), 'the' 1/6
+    keep_words = ("table value parts the scan rows " * 8).strip()
+    rows = [
+        (1, "short doc", 9),  # too_short (word count dominates)
+        (2, keep_words, 500),  # >= 40 words but n_chars > 450 -> too_long
+        (3, ("supercalifragilistic " * 45).strip(), 400),  # long words -> word_len
+        (4, keep_words, 300),  # passes all -> keep
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, n_chars long")
+    got = {
+        r.id: r.rule
+        for r in df.select(
+            "id",
+            quality_rule_expr(F.col("text"), F.col("n_chars")).alias("rule"),
+        ).collect()
+    }
+    assert got == {1: "too_short", 2: "too_long", 3: "word_len", 4: "keep"}
