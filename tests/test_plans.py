@@ -86,3 +86,28 @@ def test_semi_anti_join_no_payload_fanout(spark):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     # an inner-join-then-distinct formulation would show an aggregate
     assert "HashAggregate" not in plan
+
+
+def test_shipping_priority_topk_is_take_ordered(spark):
+    """j4's top-10 must be TakeOrderedAndProject (per-partition heaps),
+    never a global Sort + Limit, and its scans must carry the pushed
+    segment/date predicates."""
+    plan = _plan(QUERIES["j4_shipping_priority"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "c_mktsegment" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_contamination_bench_side_is_broadcast(spark):
+    """ct1's benchmark gram set must broadcast — the corpus side streams
+    map-side; a SortMergeJoin here would shuffle every corpus gram."""
+    plan = _plan(QUERIES["ct1_contamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_train_split_is_narrow_projection(spark):
+    """sp1's split assignment adds no shuffle beyond the final census
+    aggregate: exactly one Exchange (for the groupBy), no Sort, no join."""
+    plan = _plan(QUERIES["sp1_train_split"](spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan

@@ -131,3 +131,90 @@ def test_parse_exprs_match_python_re(spark, msgs):
         assert r.lvl == (lm.group(1) if lm else "")
         sm = re.search(P.SEVERITY_PATTERN, r.Message)
         assert r.sev == (sm.group(1) if sm else "")
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: quality cascade / n-grams / hash split vs Python oracles
+# ---------------------------------------------------------------------------
+
+
+def _py_quality_rule(text: str, n_chars: int) -> str:
+    """Driver-local Python oracle of functions.text.quality_rule_expr."""
+    ws = text.split(" ")
+    nw = len(ws)
+    mwl = (len(text) - nw + 1) / nw
+    stop_frac = sum(1 for w in ws if w in T.QUALITY_STOPWORDS) / nw
+    if nw < 40:
+        return "too_short"
+    if n_chars > 450:
+        return "too_long"
+    if mwl < 4.05 or mwl > 4.6:
+        return "word_len"
+    if stop_frac < 0.04:
+        return "low_stopword"
+    return "keep"
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.lists(_word, min_size=1, max_size=60).map(" ".join),
+            st.integers(min_value=0, max_value=600),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_quality_rule_expr_matches_python(spark, rows):
+    df = spark.createDataFrame(rows, "t string, n_chars long")
+    got = df.select(
+        "t",
+        "n_chars",
+        T.quality_rule_expr(F.col("t"), F.col("n_chars")).alias("rule"),
+    ).collect()
+    for r in got:
+        assert r.rule == _py_quality_rule(r.t, r.n_chars), r.t
+
+
+@given(
+    texts=st.lists(
+        st.lists(_word, min_size=0, max_size=20).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=2, max_value=5),
+)
+@settings(**SETTINGS)
+def test_word_ngram_array_matches_python(spark, texts, n):
+    from juniper_syslog_filter_spark.operators.contamination import (
+        word_ngram_array,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = df.select(
+        "t", word_ngram_array(F.col("t"), n).alias("g")
+    ).collect()
+    for r in got:
+        ws = r.t.split(" ")
+        want = (
+            [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+            if len(ws) >= n
+            else []
+        )
+        assert r.g == want, (r.t, n)
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=20, unique=True))
+@settings(**SETTINGS)
+def test_train_val_split_matches_python_md5(spark, ids):
+    import hashlib
+
+    from juniper_syslog_filter_spark.operators.sampling import train_val_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.split for r in train_val_split(df, "doc_id").collect()}
+    for i in ids:
+        hx = hashlib.md5(f"{i}:split:42".encode()).hexdigest()[:2]
+        want = "test" if hx < "0d" else ("val" if hx < "1a" else "train")
+        assert got[i] == want
