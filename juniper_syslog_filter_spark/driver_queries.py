@@ -27,8 +27,10 @@ from pyspark.sql import functions as F
 from .datagen import load_table
 from .functions import parse as P
 from .functions import text as T
+from .functions import pii as PII
 from .functions.ip import classify_ip_expr
 from .operators import dedup as D
+from .operators.graph import dup_clusters
 from .operators import similarity as S
 from .operators.rangejoin import prior_window_count
 from .operators.sampling import group_quota
@@ -365,6 +367,40 @@ def q_d4_ngram_jaccard(spark, sf_dir):
     )
     return D.verify_pairs_jaccard(
         d, cand, "doc_id", "text", D.word_ngram_sig_udf(2), threshold=0.2
+    )
+
+
+def q_d6_dup_clusters(spark, sf_dir):
+    """Duplicate-cluster closure: connected components over the d2
+    MinHash-LSH verified pair graph (min-label propagation, diameter-
+    bounded rounds — operators/graph.py), cluster id = component min,
+    is_keeper marks the canonical survivor."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, "doc_id", "text", threshold=0.5, n_bands=8, rows_per_band=2, k=8
+    )
+    return dup_clusters(pairs.select("id_a", "id_b"))
+
+
+def q_t9_pii_redact(spark, sf_dir):
+    """PII census + redaction over the synthesized event messages plus
+    a deterministic contact suffix (email, phone): per-event counts of
+    emails/phones/IPv4s and the fully-redacted text. Pure JVM regexp —
+    map-only, zero shuffle (functions/pii.py)."""
+    ev = _events_with_msg(spark, sf_dir)
+    txt = F.concat(
+        F.col("Message"),
+        F.lit(" contact=user"),
+        F.col("user_id").cast("string"),
+        F.lit("@example.org tel=+1-555-"),
+        F.lpad((F.col("event_id") % 10000).cast("string"), 4, "0"),
+    )
+    return ev.select(
+        "event_id",
+        PII.pii_count(txt, PII.EMAIL_RE).alias("n_email"),
+        PII.pii_count(txt, PII.PHONE_RE).alias("n_phone"),
+        PII.pii_count(txt, PII.IPV4_RE).alias("n_ip"),
+        PII.redact_pii(txt).alias("red"),
     )
 
 
@@ -982,6 +1018,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s5_semantic_dedup": q_s5_semantic_dedup,
     "pk1_sequence_packing": q_pk1_sequence_packing,
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
+    "d6_dup_clusters": q_d6_dup_clusters,
+    "t9_pii_redact": q_t9_pii_redact,
     "s2_embed_neardup": q_s2_embed_neardup,
     "s3_lsh_ann": q_s3_lsh_ann,
     "s4_ivf_ann": q_s4_ivf_ann,
@@ -1197,6 +1235,46 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "d3_simhash": f"""
         SELECT doc_id, {D.simhash_sql('text', 32)} AS simhash32 FROM documents
+    """,
+    # Connected components as min-reachable-id over the symmetrized +
+    # self-looped d2 pair graph (recursive CTE; UNION dedup terminates).
+    "d6_dup_clusters": f"""
+        {_LSH_CAND_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)}
+        , pairs AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b
+          WHERE round({D.jaccard_sql('sa.sh', 'sb.sh')}, 6) >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+          UNION SELECT id_a, id_a FROM pairs
+          UNION SELECT id_b, id_b FROM pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        )
+        SELECT u AS doc_id, MIN(v) AS cluster_id, MIN(v) = u AS is_keeper
+        FROM reach GROUP BY u
+    """,
+    "t9_pii_redact": f"""
+        WITH m AS (
+          SELECT event_id,
+                 ({_MSG_SQL}) || ' contact=user' || user_id::VARCHAR
+                   || '@example.org tel=+1-555-'
+                   || lpad((event_id % 10000)::VARCHAR, 4, '0') AS txt
+          FROM events
+        )
+        SELECT event_id,
+               {PII.count_sql('txt', PII.EMAIL_RE)} AS n_email,
+               {PII.count_sql('txt', PII.PHONE_RE)} AS n_phone,
+               {PII.count_sql('txt', PII.IPV4_RE)} AS n_ip,
+               {PII.redact_sql('txt')} AS red
+        FROM m
     """,
     "d5_simhash_hamming": f"""
         WITH sh AS (

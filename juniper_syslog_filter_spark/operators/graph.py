@@ -1,0 +1,116 @@
+"""Connected components over a duplicate-pair graph — cluster closure.
+
+Near-dup detection (MinHash-LSH ``operators/dedup.py``, SimHash
+``d5``, embedding blocking ``s2``) emits PAIRS; a real dedup pipeline
+must close those pairs into clusters and elect one canonical keeper per
+cluster, otherwise transitive duplicates (A~B, B~C, A!~C under the
+threshold) survive. The reference repo has no graph surface (its
+dedup-free syslog pipeline never needs one); this operator belongs to
+the added training-data family, like the dedup/ANN modules.
+
+Algorithm: iterative min-label propagation expressed as DataFrame
+joins — every node starts labelled with itself; each round every node
+takes the min of its own label and its neighbours' labels; fixpoint =
+every node labelled with the smallest id reachable from it, i.e. the
+component minimum (the deterministic cluster id).
+
+Scale design (the 100-TB lens):
+
+* Convergence is bounded by the component DIAMETER, not size. Near-dup
+  clusters in web corpora are dense and tiny (mirrors/boilerplate
+  families), so diameter is single-digit; ``max_iter`` defaults well
+  above that and the loop exits as soon as an iteration changes no
+  label (one ``count`` action per round over a ``label != old`` frame).
+* Each round is ONE shuffle join (edges ⋈ labels on dst) + ONE
+  partial-aggregated ``groupBy(node).min(label)`` — both hash-partition
+  on the node id, so AQE reuses the exchange layout round-to-round.
+* ``localCheckpoint`` truncates lineage each round; without it the
+  plan doubles per iteration and the driver OOMs planning round ~15.
+  (Same rationale as dedup.py's signature materialization.)
+* For adversarial long-chain graphs (diameter ~ n) the published fix is
+  alternating large-star/small-star (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14), which converges in
+  O(log² n) rounds with the identical per-round join shape — the loop
+  below is deliberately the simple variant because dup graphs are
+  diameter-bounded; swap the per-round message set to upgrade.
+* The edge list is symmetrized + self-looped once up front; dedup
+  (``distinct``) keeps message volume at 2|E|+|V| per round.
+
+Oracle twin: a recursive CTE computing min-reachable-id over the same
+symmetrized edges (see driver_queries ``d6_dup_clusters``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Close an undirected pair list into components.
+
+    Returns ``(node, cluster_id)`` — one row per distinct node appearing
+    in ``pairs``, ``cluster_id`` = min node id in its component (a
+    deterministic canonical-keeper election).
+    """
+    e = pairs.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    )
+    # Symmetrize; self-loops make every node its own message source so
+    # singletons-in-pairs and labels survive rounds without an outer join.
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .union(e.select(F.col("u").alias("u"), F.col("u").alias("v")))
+        .union(e.select(F.col("v").alias("u"), F.col("v").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        # node <- min(label of every neighbour incl. itself via self-loop)
+        msgs = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .select(edges["u"].alias("node"), F.col("label"))
+        )
+        new_labels = (
+            msgs.groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Duplicate-cluster closure with summary columns.
+
+    ``(doc_id, cluster_id, is_keeper)`` — ``is_keeper`` marks the
+    cluster's canonical survivor (min id); dropping ``NOT is_keeper``
+    rows from the corpus is the dedup action.
+    """
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    )

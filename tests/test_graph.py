@@ -1,0 +1,67 @@
+"""Connected-components cluster closure (operators/graph.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from juniper_syslog_filter_spark.operators.graph import (
+    connected_components,
+    dup_clusters,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    rows = connected_components(df, "id_a", "id_b").collect()
+    return {r["node"]: r["cluster_id"] for r in rows}
+
+
+def test_two_components(spark):
+    # {1,2,3} chained + {10,11}; transitive closure must group 1-2-3
+    # even though (1,3) is never a pair.
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_converges(spark):
+    # Diameter > 1 round: 0-1-2-...-9 must all collapse to 0.
+    got = _cc(spark, [(i, i + 1) for i in range(9)])
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_edge_direction_irrelevant(spark):
+    # Pairs are undirected; (big, small) order must not matter.
+    got = _cc(spark, [(5, 2), (2, 7)])
+    assert got == {2: 2, 5: 2, 7: 2}
+
+
+def test_dup_clusters_keeper(spark):
+    df = spark.createDataFrame([(4, 9), (9, 6), (20, 21)], "id_a: long, id_b: long")
+    rows = {r["doc_id"]: r for r in dup_clusters(df).collect()}
+    assert rows[4]["cluster_id"] == 4 and rows[4]["is_keeper"]
+    assert rows[9]["cluster_id"] == 4 and not rows[9]["is_keeper"]
+    assert rows[6]["cluster_id"] == 4 and not rows[6]["is_keeper"]
+    assert rows[20]["is_keeper"] and not rows[21]["is_keeper"]
+    # exactly one keeper per cluster
+    keepers = [r for r in rows.values() if r["is_keeper"]]
+    assert {k["cluster_id"] for k in keepers} == {4, 20} and len(keepers) == 2
+
+
+def test_cluster_ids_are_component_minima(spark, sf_dir):
+    # On the real d2 pair graph: every cluster_id is itself a member,
+    # and both endpoints of every pair land in the same cluster.
+    from juniper_syslog_filter_spark.datagen import load_table
+    from juniper_syslog_filter_spark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, "doc_id", "text", threshold=0.5, n_bands=8, rows_per_band=2, k=8
+    ).select("id_a", "id_b")
+    pairs = pairs.localCheckpoint()
+    cc = dup_clusters(pairs).localCheckpoint()
+    lab = {r["doc_id"]: r["cluster_id"] for r in cc.collect()}
+    assert lab, "sf0.001 documents must contain near-dup pairs"
+    for a, b in [(r["id_a"], r["id_b"]) for r in pairs.collect()]:
+        assert lab[a] == lab[b]
+    assert all(lab[c] == c for c in set(lab.values()))
+    assert all(c <= n for n, c in lab.items())
