@@ -404,6 +404,34 @@ def q_t9_pii_redact(spark, sf_dir):
     )
 
 
+def q_d7_passage_dedup(spark, sf_dir):
+    """Exact duplicate-passage census (Lee et al. ACL'22 granularity):
+    tile docs into non-overlapping 10-word windows, count global passage
+    occurrences, per-doc total vs duplicated passages."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.passage_dup_stats(d, "doc_id", "text", window=10)
+
+
+def q_t10_unigram_logprob(spark, sf_dir):
+    """CCNet-style unigram LM quality score: corpus unigram frequencies
+    → per-doc mean log-probability (two aggregates + one token join the
+    optimizer broadcasts; at web scale the vocab side is top-K-pruned
+    with a tail default, per CCNet)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("tot"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.log(F.col("cnt").cast("double") / F.col("tot").cast("double")).alias("logp"),
+    )
+    return (
+        tok.join(lp, "token")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("logp"), 6).alias("lp"))
+    )
+
+
 def q_d5_simhash_hamming(spark, sf_dir):
     """Simhash near-dup pairs via band self-join (exact for hamming <=
     n_bands-1 by pigeonhole; Manku et al. WWW'07 dataflow) — the
@@ -1019,7 +1047,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pk1_sequence_packing": q_pk1_sequence_packing,
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
     "d6_dup_clusters": q_d6_dup_clusters,
+    "d7_passage_dedup": q_d7_passage_dedup,
     "t9_pii_redact": q_t9_pii_redact,
+    "t10_unigram_logprob": q_t10_unigram_logprob,
     "s2_embed_neardup": q_s2_embed_neardup,
     "s3_lsh_ann": q_s3_lsh_ann,
     "s4_ivf_ann": q_s4_ivf_ann,
@@ -1260,6 +1290,41 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT u AS doc_id, MIN(v) AS cluster_id, MIN(v) = u AS is_keeper
         FROM reach GROUP BY u
+    """,
+    "d7_passage_dedup": """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        tiled AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, len(ws) // 10 - 1)) AS slot, ws
+          FROM w WHERE len(ws) >= 10
+        ),
+        p AS (
+          SELECT doc_id,
+                 array_to_string(ws[(slot*10+1):(slot*10+10)], ' ') AS passage
+          FROM tiled
+        ),
+        occ AS (SELECT passage, count(*) AS occ FROM p GROUP BY passage)
+        SELECT p.doc_id, count(*) AS n_pass,
+               CAST(sum(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup
+        FROM p JOIN occ o USING (passage)
+        GROUP BY p.doc_id
+    """,
+    "t10_unigram_logprob": """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents
+        ),
+        v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        t AS (SELECT sum(cnt) AS tot FROM v),
+        lp AS (
+          SELECT token, ln(cnt::DOUBLE / tot::DOUBLE) AS logp FROM v, t
+        )
+        SELECT tok.doc_id, round(avg(logp), 6) AS lp
+        FROM tok JOIN lp USING (token)
+        GROUP BY tok.doc_id
     """,
     "t9_pii_redact": f"""
         WITH m AS (

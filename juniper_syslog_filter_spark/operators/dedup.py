@@ -673,3 +673,60 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
         F.min(id_col).alias(f"keeper_{id_col}"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-passage census (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better", ACL'22 — exact substring dedup at
+# fixed token-window granularity)
+# ---------------------------------------------------------------------------
+
+
+def passage_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 10,
+) -> DataFrame:
+    """Per-document census of exactly-duplicated ``window``-word
+    passages: tile each doc into non-overlapping word windows, count
+    global occurrences of each passage string, report per doc the total
+    passage count and how many of its passages occur more than once in
+    the corpus (``n_pass``, ``n_dup``).
+
+    Scale design: explode is linear in corpus tokens; the occurrence
+    count is ONE ``groupBy(passage)`` shuffle whose key cardinality is
+    ≤ total passages (at 100 TB hash the passage to an int64 fingerprint
+    first so the shuffle ships 8-byte keys, exactly like the shingle
+    signatures above); the join back is AQE-broadcast when the dup set
+    is small, shuffle-hash otherwise. Docs shorter than one window have
+    no passages and are absent from the output (same on the oracle
+    side).
+    """
+    ws = F.split(F.col(text_col), " ")
+    tiled = (
+        df.select(F.col(id_col), ws.alias("ws"))
+        .where(F.size("ws") >= window)
+        .select(
+            id_col,
+            "ws",
+            F.explode(
+                F.sequence(F.lit(0), (F.size("ws") / window).cast("int") - 1)
+            ).alias("slot"),
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.slice(F.col("ws"), F.col("slot") * window + 1, window), " "
+            ).alias("passage"),
+        )
+    )
+    occ = tiled.groupBy("passage").agg(F.count(F.lit(1)).alias("occ"))
+    return (
+        tiled.join(occ, "passage")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_pass"),
+            F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )

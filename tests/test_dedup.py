@@ -132,3 +132,19 @@ def test_minhash_doc_table_sig_matches_sig_udf(spark, docs):
         ).collect()
     }
     assert from_doc == standalone
+
+
+def test_passage_dup_stats(spark):
+    shared = " ".join(f"w{i}" for i in range(10))  # one exact 10-word passage
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    rows = [
+        (1, shared + " " + uniq_a),   # 2 passages, 1 duplicated
+        (2, shared + " " + uniq_b),   # 2 passages, 1 duplicated
+        (3, "too short to tile"),      # < 10 words -> absent
+        (4, uniq_a + " tail words dropped by tiling"),  # 1 passage, dup of doc1's
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: (r["n_pass"], r["n_dup"]) for r in
+           D.passage_dup_stats(df, "doc_id", "text", window=10).collect()}
+    assert got == {1: (2, 2), 2: (2, 1), 4: (1, 1)}
