@@ -111,3 +111,31 @@ def test_train_split_is_narrow_projection(spark):
     plan = _plan(QUERIES["sp1_train_split"](spark, SF))
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+
+
+def test_pii_redact_is_map_only(spark):
+    """t9 must be a single narrow projection: zero shuffles, zero
+    Python — pure whole-stage-codegen'd JVM regexp."""
+    plan = _plan(QUERIES["t9_pii_redact"](spark, SF))
+    assert "Exchange" not in plan, "PII redaction must not shuffle"
+    assert "Python" not in plan and "ArrowEvalPython" not in plan
+    # codegen'd operators print with a "*(n)" stage marker
+    assert plan.lstrip().startswith("*("), "projection not codegen'd"
+
+
+def test_passage_dedup_no_cartesian(spark):
+    """d7's occurrence join must be a hash join (AQE broadcast or
+    shuffled), never a nested-loop/cartesian pair explosion."""
+    plan = _plan(QUERIES["d7_passage_dedup"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_logprob_joins(spark):
+    """t10: the only nested-loop is the deliberate broadcast of the
+    1-row corpus total; the token->logp join must be a hash join."""
+    plan = _plan(QUERIES["t10_unigram_logprob"](spark, SF))
+    assert "CartesianProduct" not in plan
+    nl = plan.count("BroadcastNestedLoopJoin")
+    assert nl <= 1, f"unexpected nested-loop joins: {nl}"
+    assert "HashJoin" in plan
