@@ -1015,6 +1015,68 @@ def q_st3_stream_window(spark, sf_dir):
     )
 
 
+def q_st4_stream_stream_join(spark, sf_dir):
+    """STREAMING stream-stream interval join: purchases joined to error
+    events of the same user within the following 60 minutes — the
+    funnel/attribution shape. Both sides carry
+    watermarks and the join condition carries the time bound, so state
+    is purged as event time advances (without the bound, stream-stream
+    join state grows without limit — the property that matters at
+    100 TB/day). INNER join output
+    is exactly the batch join result (the watermark bounds STATE, not
+    emission), so the oracle is the plain SQL interval join. Drained
+    availableNow from a file source, like st1-st3."""
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    tmp = tempfile.mkdtemp(prefix="st4_")
+    sides = {}
+    for side in ("a", "b"):
+        src = f"{tmp}/{side}"
+        os.makedirs(src)
+        os.symlink(os.path.abspath(path), f"{src}/events.parquet")
+        sides[side] = spark.readStream.schema(schema).parquet(src)
+    p = (
+        sides["a"]
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 second")
+    )
+    e = (
+        sides["b"]
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").cast("timestamp").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 second")
+    )
+    joined = p.join(
+        e,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 60 MINUTES")),
+        "inner",
+    ).select("p_id", "e_id")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema("p_id long, e_id long").parquet(f"{tmp}/out")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_filter_keyword": q_p1_filter_keyword,
     "p2_filter_severity": q_p2_filter_severity,
@@ -1073,6 +1135,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st2_stream_dedup": q_st2_stream_dedup,
     # streaming windowed agg — oracle-checkable (emitted set = closed windows)
     "st3_stream_window": q_st3_stream_window,
+    # stream-stream interval join — oracle-checkable (inner join output
+    # equals the batch join; watermarks bound state, not emission)
+    "st4_stream_stream_join": q_st4_stream_stream_join,
     "a4_pivot": q_a4_pivot,
 }
 
@@ -1290,6 +1355,13 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT u AS doc_id, MIN(v) AS cluster_id, MIN(v) = u AS is_keeper
         FROM reach GROUP BY u
+    """,
+    "st4_stream_stream_join": """
+        SELECT p.event_id AS p_id, e.event_id AS e_id
+        FROM events p JOIN events e
+          ON p.event_type = 'purchase' AND e.event_type = 'error'
+         AND p.user_id = e.user_id
+         AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 60 MINUTE
     """,
     "d7_passage_dedup": """
         WITH w AS (
