@@ -20,10 +20,21 @@ Scale design (the 100-TB lens):
   clusters in web corpora are dense and tiny (mirrors/boilerplate
   families), so diameter is single-digit; ``max_iter`` defaults well
   above that and the loop exits as soon as an iteration changes no
-  label (one ``count`` action per round over a ``label != old`` frame).
+  label.
 * Each round is ONE shuffle join (edges ⋈ labels on dst) + ONE
-  partial-aggregated ``groupBy(node).min(label)`` — both hash-partition
-  on the node id, so AQE reuses the exchange layout round-to-round.
+  partial-aggregated ``groupBy(node)``. The self-loop message carries
+  each node's CURRENT label into that same aggregation, so the
+  convergence test (``min(label) != own label``) is a filter over the
+  already-materialized round output — no second join, no second
+  shuffle, one extra metadata-only job per round.
+* Shuffle width is sized to the GRAPH, not the session default: a
+  verified dup-pair graph is orders of magnitude smaller than the
+  corpus that produced it (477 nodes from 240 k docs at sf0.1), and a
+  round over a few thousand edges must not pay 32 shuffle tasks of
+  scheduling overhead. One ``count`` on the checkpointed edge list
+  picks ``ceil(|E| / 200k)`` partitions, clamped to 4× cluster
+  parallelism — at 100 TB the same rule widens the rounds to match the
+  (still corpus-dwarfed) pair volume.
 * ``localCheckpoint`` truncates lineage each round; without it the
   plan doubles per iteration and the driver OOMs planning round ~15.
   (Same rationale as dedup.py's signature materialization.)
@@ -58,11 +69,18 @@ def connected_components(
     in ``pairs``, ``cluster_id`` = min node id in its component (a
     deterministic canonical-keeper election).
     """
+    spark = pairs.sparkSession
+    # Materialize the pair list ONCE before fanning it into the 4-way
+    # symmetrize union — each union branch re-evaluates its input, and
+    # the input here is typically a full near-dup detection (LSH join +
+    # verify), which must not run 4 times.
     e = pairs.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
-    )
+    ).localCheckpoint()
     # Symmetrize; self-loops make every node its own message source so
-    # singletons-in-pairs and labels survive rounds without an outer join.
+    # singletons-in-pairs and labels survive rounds without an outer
+    # join — and give each round's aggregation the node's own current
+    # label, which doubles as the convergence signal below.
     edges = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .union(e.select(F.col("u").alias("u"), F.col("u").alias("v")))
@@ -71,28 +89,50 @@ def connected_components(
         .localCheckpoint()
     )
 
-    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).localCheckpoint()
+    # Size per-round shuffles to the pair graph (see module docstring):
+    # the count is over already-checkpointed blocks, so it costs one
+    # metadata scan, not a recompute of the upstream pair detection.
+    n_edges = edges.count()
+    parts = max(
+        1,
+        min(4 * spark.sparkContext.defaultParallelism, n_edges // 200_000 + 1),
+    )
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        edges = edges.repartition(parts, "v").localCheckpoint()
+        labels = (
+            edges.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint()
+        )
 
-    for _ in range(max_iter):
-        # node <- min(label of every neighbour incl. itself via self-loop)
-        msgs = (
-            edges.join(labels, edges["v"] == labels["node"])
-            .select(edges["u"].alias("node"), F.col("label"))
-        )
-        new_labels = (
-            msgs.groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        for _ in range(max_iter):
+            # node <- min(label of every neighbour incl. itself); the
+            # self-loop row is tagged so the same aggregation also emits
+            # the node's previous label for the fixpoint test.
+            msgs = edges.join(labels, edges["v"] == labels["node"]).select(
+                edges["u"].alias("node"),
+                F.col("label"),
+                (edges["u"] == edges["v"]).alias("is_self"),
+            )
+            agg = (
+                msgs.groupBy("node")
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min(F.when(F.col("is_self"), F.col("label"))).alias(
+                        "_old"
+                    ),
+                )
+                .localCheckpoint()
+            )
+            changed = agg.where(F.col("label") != F.col("_old")).count()
+            labels = agg.select("node", "label")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
