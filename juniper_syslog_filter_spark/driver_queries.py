@@ -34,6 +34,7 @@ from .operators.graph import dup_clusters
 from .operators import similarity as S
 from .operators.rangejoin import prior_window_count
 from .operators.sampling import group_quota
+from .operators.skewjoin import salted_join
 
 # ---------------------------------------------------------------------------
 # Synthesized syslog message over events (shared Spark/SQL definition).
@@ -1077,6 +1078,24 @@ def q_st4_stream_stream_join(spark, sf_dir):
     return spark.read.schema("p_id long, e_id long").parquet(f"{tmp}/out")
 
 
+def q_sj1_salted_skew_join(spark, sf_dir):
+    """Salted skew join (operators/skewjoin.py): documents.source is the
+    corpus's power-law key (a handful of crawl sources over the whole
+    table) — a plain shuffle join on it puts each source on ONE reducer.
+    The salted form spreads every source over 8 subpartitions keyed by
+    (source, _salt) and joins the per-source stats dim exploded x8.
+    Output rows = the plain join's rows, which is exactly what the
+    unsalted SQL oracle states."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    dim = d.groupBy("source").agg(
+        F.count("*").alias("src_docs"),
+        F.sum("n_chars").alias("src_chars"),
+    )
+    return salted_join(d, dim, on="source", entropy_col="doc_id", n_salts=8)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_filter_keyword": q_p1_filter_keyword,
     "p2_filter_severity": q_p2_filter_severity,
@@ -1139,6 +1158,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # equals the batch join; watermarks bound state, not emission)
     "st4_stream_stream_join": q_st4_stream_stream_join,
     "a4_pivot": q_a4_pivot,
+    # salted skew join — physical-distribution rewrite, plain-join oracle
+    "sj1_salted_skew_join": q_sj1_salted_skew_join,
 }
 
 
@@ -1362,6 +1383,16 @@ ORACLE_SQL: dict[str, str] = {
           ON p.event_type = 'purchase' AND e.event_type = 'error'
          AND p.user_id = e.user_id
          AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 60 MINUTE
+    """,
+    "sj1_salted_skew_join": """
+        SELECT d.doc_id, d.source, d.n_chars, s.src_docs, s.src_chars
+        FROM documents d
+        JOIN (
+            SELECT source,
+                   count(*) AS src_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS src_chars
+            FROM documents GROUP BY source
+        ) s USING (source)
     """,
     "d7_passage_dedup": """
         WITH w AS (

@@ -271,3 +271,49 @@ def test_quality_rule_first_match_wins(spark):
         ).collect()
     }
     assert got == {1: "too_short", 2: "too_long", 3: "word_len", 4: "keep"}
+
+
+# ---------------------------------------------------------------------------
+# salted skew join (operators/skewjoin.py)
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join(spark):
+    from juniper_syslog_filter_spark.operators.skewjoin import salted_join
+
+    # one hot key (90% of rows) + a cold tail — the shape salting exists for
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", i * 2) for i in range(200)],
+        "row_id: long, k: string, v: long",
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1.5), ("cold", -2.0), ("orphan", 0.0)], "k: string, w: double"
+    )
+    got = salted_join(fact, dim, on="k", entropy_col="row_id", n_salts=4)
+    want = fact.join(dim, "k")
+    assert sorted(got.columns) == sorted(want.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from juniper_syslog_filter_spark.operators.skewjoin import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "zz")], "row_id: long, k: string"
+    )
+    dim = spark.createDataFrame([("a", 10)], "k: string, w: int")
+    got = salted_join(fact, dim, on="k", entropy_col="row_id", how="left")
+    rows = {r["row_id"]: r["w"] for r in got.collect()}
+    assert rows == {1: 10, 2: 10, 3: None}
+
+
+def test_salted_join_deterministic_across_runs(spark):
+    from juniper_syslog_filter_spark.operators.skewjoin import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, "k") for i in range(50)], "row_id: long, k: string"
+    )
+    dim = spark.createDataFrame([("k", 7)], "k: string, w: int")
+    a = salted_join(fact, dim, on="k", entropy_col="row_id", n_salts=8)
+    b = salted_join(fact, dim, on="k", entropy_col="row_id", n_salts=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

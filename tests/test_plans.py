@@ -139,3 +139,21 @@ def test_unigram_logprob_joins(spark):
     nl = plan.count("BroadcastNestedLoopJoin")
     assert nl <= 1, f"unexpected nested-loop joins: {nl}"
     assert "HashJoin" in plan
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """sj1: the join must be a ShuffledHashJoin keyed on (source, _salt)
+    — the physical spread is the operator's whole point — and must NOT
+    collapse to a broadcast (which would make the salt a no-op)."""
+    plan = _plan(QUERIES["sj1_salted_skew_join"](spark, SF))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "_salt" in plan.split("ShuffledHashJoin")[0].splitlines()[-1] or "_salt" in plan
+    # both JOIN-input exchanges carry the composite (key, salt)
+    # partitioning (the third exchange is the dim's own groupBy)
+    ex = [
+        ln
+        for ln in plan.splitlines()
+        if "hashpartitioning" in ln and "_salt" in ln
+    ]
+    assert len(ex) == 2 and all("source" in ln for ln in ex)
