@@ -69,3 +69,42 @@ def read_table(spark: SparkSession, identifier: str) -> DataFrame:
     if not _is_path(identifier) and have_iceberg(spark):
         return spark.read.table(identifier)
     return spark.read.parquet(identifier)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: str | list[str],
+    n_buckets: int,
+    sort_cols: str | list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist a catalog table hash-bucketed (and optionally sorted) on
+    the join/aggregation key — the north rule's "bucketed by url hash".
+
+    Why this matters at 100 TB: a shuffle moves the ENTIRE fact table
+    across the network every time two tables join on a key; bucketing
+    pays that cost ONCE at write time and every later equi-join or
+    groupBy on ``bucket_cols`` between same-bucketed tables runs with
+    zero Exchange (pinned in tests/test_tables.py). ``sort_cols`` gives
+    within-file run ordering (row-group min/max pruning, merge locality);
+    note Spark 3+ no longer propagates it as plan output ordering by
+    default (SPARK-28595 — multi-file buckets made that unsound), so a
+    cheap per-task Sort remains before a sort-merge join. Bucket count is
+    a layout contract: pick it from target bytes/bucket at full scale
+    (e.g. 100 TB / 512 MB ≈ 200k buckets), and keep it IDENTICAL across
+    tables meant to co-join — Spark only elides the shuffle when bucket
+    specs match. On Iceberg the same declaration is the
+    ``bucket(n, col)`` partition transform; this writer covers the
+    session-catalog/parquet runtime in this sandbox.
+    """
+    bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else bucket_cols
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        sort_cols = [sort_cols] if isinstance(sort_cols, str) else sort_cols
+        w = w.sortBy(*sort_cols)
+    if path:
+        # external table — bucketing metadata still lands in the catalog
+        w = w.option("path", path)
+    w.saveAsTable(table_name)

@@ -35,3 +35,44 @@ def test_overwrite_partitions_replaces_only_touched(spark, tmp_path):
 
 def test_have_iceberg_is_false_in_sandbox(spark):
     assert have_iceberg(spark) is False
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key must equi-join (and groupBy)
+    with ZERO Exchange — the write-once/join-many layout contract the
+    100-TB design leans on (tables.write_bucketed)."""
+    from pyspark.sql import functions as F
+
+    from juniper_syslog_filter_spark.tables import write_bucketed
+
+    # fact and dim both bucketed x4 on the join key, too big to broadcast
+    # one writer task -> one file per bucket (tidiest layout; the
+    # Exchange elision under test holds at any file count)
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 100).alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1)
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") + 1000).alias("w")
+    ).coalesce(1)
+    spark.sql("DROP TABLE IF EXISTS bt_fact")
+    spark.sql("DROP TABLE IF EXISTS bt_dim")
+    write_bucketed(fact, "bt_fact", "k", 4, sort_cols="k", path=str(tmp_path / "bt_fact"))
+    write_bucketed(dim, "bt_dim", "k", 4, sort_cols="k", path=str(tmp_path / "bt_dim"))
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bt_fact").join(spark.table("bt_dim"), "k")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, "bucketed join must not shuffle"
+            assert j.count() == 5000
+            # groupBy on the bucket key is shuffle-free too
+            g = spark.table("bt_fact").groupBy("k").agg(F.sum("v").alias("s"))
+            gplan = g._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in gplan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_fact")
+        spark.sql("DROP TABLE IF EXISTS bt_dim")
