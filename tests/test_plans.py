@@ -157,3 +157,59 @@ def test_salted_join_spreads_hot_key(spark):
         if "hashpartitioning" in ln and "_salt" in ln
     ]
     assert len(ex) == 2 and all("source" in ln for ln in ex)
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark):
+    """Runtime semi-join reduction: joining a big fact to a selectively
+    filtered build side must inject a bloom filter (bloom_filter_agg on
+    the build side, might_contain on the fact scan) so fact rows that
+    cannot join die at the scan, not at the shuffle. Fires by default
+    once the fact side exceeds 10 GB
+    (spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold);
+    floored here so the pin works at test scale."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan, "no runtime filter on the fact scan"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """DPP: a partitioned fact joined to a dim filtered on a NON-key
+    column must prune fact partitions at runtime (dynamicpruning
+    subquery in PartitionFilters) — the scan reads only severities the
+    dim filter admits, which at 100 TB is the difference between
+    scanning one partition and scanning the table."""
+    fact = spark.createDataFrame(
+        [(s, i) for i, s in enumerate(["CRITICAL", "WARNING", "INFO"] * 50)],
+        "Severity string, v int",
+    )
+    path = str(tmp_path / "dpp_fact")
+    fact.write.partitionBy("Severity").parquet(path)
+    dim = spark.createDataFrame(
+        [("CRITICAL", 2), ("WARNING", 4), ("INFO", 6)],
+        "Severity string, level int",
+    ).filter(F.col("level") < 3)
+    j = spark.read.parquet(path).join(dim, "Severity")
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower(), "no DPP on partitioned scan"
+    assert j.count() == 50
