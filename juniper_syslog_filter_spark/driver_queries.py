@@ -1078,6 +1078,34 @@ def q_st4_stream_stream_join(spark, sf_dir):
     return spark.read.schema("p_id long, e_id long").parquet(f"{tmp}/out")
 
 
+def q_km1_kmeans_step(spark, sf_dir):
+    """One distributed Lloyd (k-means) step over the embeddings
+    (similarity.lloyd_step): 8 deterministic seed centroids (lowest
+    vec_ids, the s4 convention), broadcast argmax-cosine assignment,
+    then a per-cell census. The float centroid means are
+    summation-order-dependent, so the ORACLE-checked surface is the
+    exact part — membership counts, min member, integer label sum —
+    while the mean-update arithmetic is pinned by pytest
+    (tests/test_similarity.py) on integer-exact blobs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id") != 0)
+        .orderBy(F.asc("vec_id"))
+        .limit(8)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb"))
+    )
+    asg = S.ivf_assign_cells(e.filter(F.col("vec_id") != 0), cents)
+    return (
+        asg.join(e.select("vec_id", "label"), "vec_id")
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.sum("label").alias("sum_label"),
+        )
+    )
+
+
 def q_sj1_salted_skew_join(spark, sf_dir):
     """Salted skew join (operators/skewjoin.py): documents.source is the
     corpus's power-law key (a handful of crawl sources over the whole
@@ -1160,6 +1188,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a4_pivot": q_a4_pivot,
     # salted skew join — physical-distribution rewrite, plain-join oracle
     "sj1_salted_skew_join": q_sj1_salted_skew_join,
+    # k-means Lloyd step — exact census oracle; mean update pinned in pytest
+    "km1_kmeans_step": q_km1_kmeans_step,
 }
 
 
@@ -1393,6 +1423,26 @@ ORACLE_SQL: dict[str, str] = {
                    CAST(sum(n_chars) AS BIGINT) AS src_chars
             FROM documents GROUP BY source
         ) s USING (source)
+    """,
+    "km1_kmeans_step": f"""
+        WITH cents AS (
+          SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+          WHERE vec_id <> 0 ORDER BY vec_id ASC LIMIT 8
+        ),
+        asg AS (
+          SELECT e.vec_id, e.label, c.cent_id,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {S.cosine_sql('e.embedding::DOUBLE[]', 'c.cent_emb::DOUBLE[]')} DESC,
+                            c.cent_id ASC
+                 ) AS rn
+          FROM embeddings e CROSS JOIN cents c
+          WHERE e.vec_id <> 0
+        )
+        SELECT cent_id AS cell, count(*) AS n_members,
+               min(vec_id) AS min_vec_id,
+               CAST(sum(label) AS BIGINT) AS sum_label
+        FROM asg WHERE rn = 1 GROUP BY cent_id
     """,
     "d7_passage_dedup": """
         WITH w AS (

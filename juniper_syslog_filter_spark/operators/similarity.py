@@ -234,6 +234,43 @@ def ivf_assign_cells(
     )
 
 
+def lloyd_step(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """One distributed Lloyd (k-means) iteration — the training pass
+    behind the IVF quantizer and SemDeDup's clustering (arXiv:2303.09540
+    clusters with k-means before within-cluster cosine).
+
+    Assignment is :func:`ivf_assign_cells` (broadcast quantizer, ONE
+    map-side ``max_by`` aggregate, no window sort); the update computes
+    each cell's element-wise mean embedding with ``posexplode`` →
+    ``groupBy(cell, pos)`` partial-aggregated sums → per-cell array
+    re-assembly via ``array_sort`` over (pos, mean) structs. Everything
+    stays JVM-side; the widest shuffle carries (cell, pos) keyed partial
+    sums — cells × dim rows, independent of corpus size. Iterating to
+    convergence is a driver loop over this function (each step writes
+    its centroid table — tiny — and re-broadcasts).
+
+    Returns ``(cell, cent_emb, n_members)`` — the new quantizer.
+    """
+    asg = ivf_assign_cells(embeddings, centroids, id_col=id_col, emb_col=emb_col)
+    by_dim = asg.select(
+        "cell", F.posexplode(F.col(emb_col).cast("array<double>"))
+    ).groupBy("cell", "pos").agg(
+        F.avg("col").alias("mean"), F.count("*").alias("n")
+    )
+    return by_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+            lambda s: s["mean"],
+        ).alias("cent_emb"),
+        F.first("n").alias("n_members"),
+    )
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     query: DataFrame,

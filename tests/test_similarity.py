@@ -135,3 +135,43 @@ def test_cosine_pair_udf_bit_identical_to_expression(emb):
     assert len(got) == N * (N - 1) // 2
     for r in got:
         assert r.c_expr == r.c_udf, (r.id_a, r.id_b)
+
+
+def test_lloyd_step_recovers_blob_means(spark):
+    """One Lloyd iteration on two integer-exact separable blobs must (a)
+    assign each point to its blob's seed and (b) move each centroid to
+    the blob's exact element-wise mean (integer values -> no float
+    ambiguity)."""
+    # blob A around (10, 0): points (8,0),(12,0),(10,2); seed = (8,0)
+    # blob B around (0, 10): points (0,8),(0,12),(2,10); seed = (0,8)
+    pts = [
+        (1, [8.0, 0.0]), (2, [12.0, 0.0]), (3, [10.0, 2.0]),
+        (4, [0.0, 8.0]), (5, [0.0, 12.0]), (6, [2.0, 10.0]),
+    ]
+    emb = spark.createDataFrame(pts, "vec_id: long, embedding: array<float>")
+    cents = spark.createDataFrame(
+        [(1, [8.0, 0.0]), (4, [0.0, 8.0])], "cent_id: long, cent_emb: array<float>"
+    )
+    out = {r["cell"]: r for r in S.lloyd_step(emb, cents).collect()}
+    assert set(out) == {1, 4}
+    assert out[1]["n_members"] == 3 and out[4]["n_members"] == 3
+    assert out[1]["cent_emb"] == [10.0, 2.0 / 3.0]
+    assert out[4]["cent_emb"] == [2.0 / 3.0, 10.0]
+
+
+def test_lloyd_step_fixpoint(spark):
+    """Seeding with the true means must return the same means (k-means
+    fixpoint) — iterating the operator is stable."""
+    pts = [(1, [4.0, 0.0]), (2, [8.0, 0.0]), (3, [0.0, 6.0]), (4, [0.0, 10.0])]
+    emb = spark.createDataFrame(pts, "vec_id: long, embedding: array<float>")
+    cents = spark.createDataFrame(
+        [(0, [6.0, 0.0]), (1, [0.0, 8.0])], "cent_id: long, cent_emb: array<float>"
+    )
+    one = S.lloyd_step(emb, cents)
+    two = S.lloyd_step(
+        emb,
+        one.select(F.col("cell").alias("cent_id"), F.col("cent_emb")),
+    )
+    a = {r["cell"]: r["cent_emb"] for r in one.collect()}
+    b = {r["cell"]: r["cent_emb"] for r in two.collect()}
+    assert a == b == {0: [6.0, 0.0], 1: [0.0, 8.0]}
