@@ -105,7 +105,17 @@ def _msg_col() -> F.Column:
 
 
 def _events_with_msg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events").withColumn("Message", _msg_col())
+    ev = load_table(spark, sf_dir, "events")
+    # The message-synth + extract chain is CPU-bound; the sf-dir events
+    # table is ONE small single-row-group parquet file, i.e. one input
+    # split, which would serialize the whole chain onto one core. Fan
+    # out first — same small-input guard as zip_source/dedup. At real
+    # scale the scan has >= defaultParallelism splits and this is a
+    # no-op branch; the chain itself stays map-only.
+    par = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < par:
+        ev = ev.repartition(par)
+    return ev.withColumn("Message", _msg_col())
 
 
 # ---------------------------------------------------------------------------
