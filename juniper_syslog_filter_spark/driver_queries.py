@@ -665,6 +665,27 @@ def q_w4_asof_join(spark, sf_dir):
     return out.select("event_id", "user_id", F.col("o_orderkey").alias("last_orderkey"))
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_shards(spark, n: int = 8):
+    """State-store shard count for the streaming demos. A streaming
+    checkpoint pins its state partitioning at FIRST run to the session's
+    ``spark.sql.shuffle.partitions`` (it can never change afterwards —
+    resizing state means a new checkpoint), and every micro-batch pays
+    per-shard provider/commit overhead whether or not a shard holds
+    data. These bounded drains carry test-scale state, so 8 shards is
+    the honest size; a production deployment sizes this up-front from
+    target state volume, not from the batch session's shuffle width."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def q_st1_sessionize_stream(spark, sf_dir):
     """Stateful streaming sessionize (streaming.sessionize_stream:
     ``applyInPandasWithState`` + event-time timeout) drained with
@@ -699,15 +720,16 @@ def q_st1_sessionize_stream(spark, sf_dir):
         F.col("ts").cast("timestamp").alias("ts"),
     )
     sessions = sessionize_stream(events, gap_minutes=30, watermark_delay="1 second")
-    q = (
-        sessions.writeStream.format("parquet")
-        .option("path", f"{tmp}/out")
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shards(spark):
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(f"{tmp}/out")
 
 
@@ -736,15 +758,16 @@ def q_st2_stream_dedup(spark, sf_dir):
         stream.select(F.md5(F.col("text").cast("binary")).alias("fp"))
         .dropDuplicates(["fp"])
     )
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", f"{tmp}/out")
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shards(spark):
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(f"{tmp}/out")
 
 
@@ -1007,15 +1030,16 @@ def q_st3_stream_window(spark, sf_dir):
             F.col("window")["start"].alias("win_start"), "event_type", "n"
         )
     )
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", f"{tmp}/out")
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shards(spark):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.read.parquet(f"{tmp}/out")
     # session tz is UTC → ntz cast is value-preserving; matches w3's
     # (and the oracle's) naive-timestamp win_start.
@@ -1076,15 +1100,16 @@ def q_st4_stream_stream_join(spark, sf_dir):
         & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 60 MINUTES")),
         "inner",
     ).select("p_id", "e_id")
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", f"{tmp}/out")
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shards(spark):
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.schema("p_id long, e_id long").parquet(f"{tmp}/out")
 
 
