@@ -1113,6 +1113,46 @@ def q_st4_stream_stream_join(spark, sf_dir):
     return spark.read.schema("p_id long, e_id long").parquet(f"{tmp}/out")
 
 
+def q_st5_stream_static_join(spark, sf_dir):
+    """STREAMING stream-static enrich: the events stream joined to the
+    static severity dimension — j1's lookup enrich as a continuous
+    ingest stage. Stream-static inner equi-joins are STATELESS (each
+    micro-batch joins against the static snapshot; nothing is buffered,
+    no watermark needed), so output = the batch join exactly and the
+    oracle is plain SQL. The dim broadcasts inside every micro-batch —
+    the same per-batch broadcast a 100 TB/day enrich would use."""
+    import os
+    import tempfile
+
+    dim = spark.createDataFrame(
+        [(et, sev, lvl) for et, sev, lvl in _SEV_CASES],
+        "event_type string, severity string, severity_level int",
+    )
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    tmp = tempfile.mkdtemp(prefix="st5_")
+    src_dir = f"{tmp}/src"
+    os.makedirs(src_dir)
+    os.symlink(os.path.abspath(path), f"{src_dir}/events.parquet")
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    enriched = stream.join(F.broadcast(dim), "event_type", "inner").select(
+        "event_id", "severity", "severity_level"
+    )
+    with _stream_shards(spark):
+        q = (
+            enriched.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.schema(
+        "event_id long, severity string, severity_level int"
+    ).parquet(f"{tmp}/out")
+
+
 def q_km1_kmeans_step(spark, sf_dir):
     """One distributed Lloyd (k-means) step over the embeddings
     (similarity.lloyd_step): 8 deterministic seed centroids (lowest
@@ -1137,6 +1177,40 @@ def q_km1_kmeans_step(spark, sf_dir):
             F.count("*").alias("n_members"),
             F.min("vec_id").alias("min_vec_id"),
             F.sum("label").alias("sum_label"),
+        )
+    )
+
+
+def q_cp1_corpus_pipeline(spark, sf_dir):
+    """End-to-end training-corpus build composed in ONE declarative
+    plan — the composition this engine exists for: C4/Gopher quality
+    rules (keep only) → language ID → exact dedup (lowest doc_id per
+    md5 fingerprint survives) → deterministic train/val/test hash
+    split → per-(split, lang) data-card census. Every stage is an
+    already-oracle-checked operator (fl1 rules, t4's expression spec,
+    d1 dedup, sp1 split); composing them keeps a single Catalyst plan
+    with TWO shuffles total (fingerprint agg + census agg; the
+    winner semi-join reuses the fingerprint partitioning) — everything
+    else is map-side."""
+    from .operators.sampling import train_val_split
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.where(
+        T.quality_rule_expr(F.col("text"), F.col("n_chars")) == "keep"
+    ).select(
+        "doc_id",
+        "n_chars",
+        T.lang_id_expr(F.col("text")).alias("lid"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+    )
+    winners = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    uniq = kept.join(winners, ["fp", "doc_id"], "left_semi")
+    return (
+        train_val_split(uniq, "doc_id")
+        .groupBy("split", "lid")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
         )
     )
 
@@ -1225,6 +1299,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sj1_salted_skew_join": q_sj1_salted_skew_join,
     # k-means Lloyd step — exact census oracle; mean update pinned in pytest
     "km1_kmeans_step": q_km1_kmeans_step,
+    # stream-static enrich — stateless; output equals the batch join
+    "st5_stream_static_join": q_st5_stream_static_join,
+    # composed corpus build: quality -> langid -> dedup -> split census
+    "cp1_corpus_pipeline": q_cp1_corpus_pipeline,
 }
 
 
@@ -1458,6 +1536,40 @@ ORACLE_SQL: dict[str, str] = {
                    CAST(sum(n_chars) AS BIGINT) AS src_chars
             FROM documents GROUP BY source
         ) s USING (source)
+    """,
+    "st5_stream_static_join": """
+        SELECT e.event_id, d.severity, d.severity_level
+        FROM events e
+        JOIN (VALUES
+            ('error', 'CRITICAL', 2),
+            ('purchase', 'WARNING', 4),
+            ('signup', 'INFO', 6),
+            ('click', 'NOTICE', 5),
+            ('view', 'DEBUG', 7)
+        ) AS d(event_type, severity, severity_level)
+          ON e.event_type = d.event_type
+    """,
+    "cp1_corpus_pipeline": f"""
+        WITH kept AS (
+          SELECT doc_id, n_chars,
+                 {T.lang_id_sql('text')} AS lid,
+                 md5(text) AS fp
+          FROM documents
+          WHERE {T.quality_rule_sql('text', 'n_chars')} = 'keep'
+        ),
+        winners AS (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp),
+        uniq AS (
+          SELECT k.* FROM kept k
+          JOIN winners w ON k.fp = w.fp AND k.doc_id = w.doc_id
+        )
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split:42'), 1, 2) < '0d' THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split:42'), 1, 2) < '1a' THEN 'val'
+                    ELSE 'train' END AS split,
+               lid,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM uniq
+        GROUP BY 1, 2
     """,
     "km1_kmeans_step": f"""
         WITH cents AS (
