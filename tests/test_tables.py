@@ -76,3 +76,26 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_fact")
         spark.sql("DROP TABLE IF EXISTS bt_dim")
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from juniper_syslog_filter_spark.tables import compact_table
+
+    path = str(tmp_path / "frag")
+    # 40 tiny files (one per partition)
+    spark.range(0, 4000).select(
+        F.col("id"), (F.col("id") * 3).alias("v")
+    ).repartition(40).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 40
+    want = sorted(map(tuple, spark.read.parquet(path).collect()))
+    n = compact_table(spark, path, target_bytes=1 << 30)
+    assert n == 1
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert after == 1
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == want
