@@ -218,3 +218,36 @@ def test_train_val_split_matches_python_md5(spark, ids):
         hx = hashlib.md5(f"{i}:split:42".encode()).hexdigest()[:2]
         want = "test" if hx < "0d" else ("val" if hx < "1a" else "train")
         assert got[i] == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from(["a", "b", "c", "hot"])),
+        min_size=1,
+        max_size=40,
+    ),
+    n_salts=st.integers(1, 6),
+)
+@settings(**SETTINGS)
+def test_salted_join_matches_plain_join(spark, rows, n_salts):
+    """Salting rewrites the physical distribution only: for ANY fact
+    frame, dim and salt width, the salted join's multiset of rows
+    equals the plain join's."""
+    from juniper_syslog_filter_spark.operators.skewjoin import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, k) for i, (_, k) in enumerate(rows)], "row_id: long, k: string"
+    )
+    dim = spark.createDataFrame(
+        [("a", 1), ("hot", 2), ("zz", 3)], "k: string, w: int"
+    )
+    got = sorted(
+        map(
+            tuple,
+            salted_join(
+                fact, dim, on="k", entropy_col="row_id", n_salts=n_salts
+            ).collect(),
+        )
+    )
+    want = sorted(map(tuple, fact.join(dim, "k").collect()))
+    assert got == want
