@@ -648,6 +648,69 @@ def q_w3_tumbling_window(spark, sf_dir):
     )
 
 
+def q_w6_sliding_window(spark, sf_dir):
+    """Sliding (hopping) 1-hour window with a 30-minute slide — each
+    event lands in 2 overlapping windows. F.window with a slide emits
+    one Expand-style row per hop, then the usual partial+final
+    aggregate; the SQL twin drives the same two hops from
+    date_trunc arithmetic (hop k in {0,1}: start = trunc(ts - k*30min
+    to the 30-min grid)). Completes the window family: tumbling w3,
+    streaming tumbling st3, session w1/st1."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win["start"].alias("win_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_w7_event_gaps(spark, sf_dir):
+    """LAG-based inter-event gaps: per user, the time since their
+    previous event (epoch-second delta), aggregated into per-user
+    gap stats. One window sort per user partition + one aggregate —
+    the standard funnel/engagement cadence block."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    # whole microseconds (unix_micros <-> DuckDB epoch_us): exact integer
+    # arithmetic on both engines; second-level functions floor/round
+    # fractional timestamps differently.
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    return (
+        ev.select("user_id", gap.alias("gap_us"))
+        .where(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.sum("gap_us").alias("total_gap_us"),
+        )
+    )
+
+
+def q_a5_cube(spark, sf_dir):
+    """CUBE aggregate over (event day, event_type): all four grouping
+    sets — (day, type), (day), (type), () — in ONE Expand pass (same
+    operator family as a2's ROLLUP, with the cross subtotals);
+    grouping_id labels each set for the consumer."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    return (
+        ev.cube(day, F.col("event_type"))
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def q_w4_asof_join(spark, sf_dir):
     """As-of join (operators/asof.py): each event picks the user's
     latest order at-or-before the event time (ties → greatest orderkey)
@@ -1278,6 +1341,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w2_topk_per_group": q_w2_topk_per_group,
     "w3_tumbling_window": q_w3_tumbling_window,
     "w4_asof_join": q_w4_asof_join,
+    "w6_sliding_window": q_w6_sliding_window,
+    "w7_event_gaps": q_w7_event_gaps,
+    "a5_cube": q_a5_cube,
     "t7_doc_freq": q_t7_doc_freq,
     "mm1_media_meta": q_mm1_media_meta,
     "j4_shipping_priority": q_j4_shipping_priority,
@@ -1939,6 +2005,41 @@ ORACLE_SQL: dict[str, str] = {
         SELECT date_trunc('hour', ts) AS win_start, event_type,
                count(*) AS n, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
+    """,
+    "w6_sliding_window": """
+        WITH hop AS (
+          SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start,
+                 event_type, value
+          FROM events
+          UNION ALL
+          SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                 event_type, value
+          FROM events
+        )
+        SELECT win_start, event_type, count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM hop GROUP BY 1, 2
+    """,
+    "w7_event_gaps": """
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 )) AS gap_us
+          FROM events
+        )
+        SELECT user_id, count(*) AS n_gaps,
+               CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+               CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+               CAST(sum(gap_us) AS BIGINT) AS total_gap_us
+        FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+    """,
+    "a5_cube": """
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(GROUPING(CAST(ts AS DATE), event_type) AS BIGINT) AS gid,
+               count(*) AS n
+        FROM events
+        GROUP BY CUBE(CAST(ts AS DATE), event_type)
     """,
     "w4_asof_join": """
         WITH j AS (
