@@ -127,6 +127,51 @@ def start_agg_sink(
     return writer.start()
 
 
+def make_batch_writer(identifier: str, partition_cols: list[str] | None = None):
+    """Build the ``foreachBatch`` function for :func:`start_table_sink` —
+    exposed separately so tests can drive the replay path directly."""
+    from .tables import write_table
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df.withColumn("_batch_id", F.lit(batch_id))
+        write_table(
+            out,
+            identifier,
+            (partition_cols or []) + ["_batch_id"],
+            mode="overwrite_partitions",
+        )
+
+    return write_batch
+
+
+def start_table_sink(
+    df: DataFrame,
+    identifier: str,
+    checkpoint_path: str,
+    partition_cols: list[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """``foreachBatch`` → table sink with batch-id idempotency — the
+    exactly-once streaming-to-TABLE pattern (file sinks get a manifest
+    for free; arbitrary table writes do not).
+
+    foreachBatch is at-least-once: a crash between the table write and
+    the checkpoint commit replays the SAME epoch with the SAME
+    ``batch_id``. Writes are made idempotent by partitioning the output
+    on ``_batch_id`` and using dynamic partition overwrite
+    (``tables.write_table`` → Iceberg ``overwritePartitions`` on a real
+    catalog), so a replayed epoch REPLACES its own partition instead of
+    appending duplicates — the streaming analogue of the batch
+    checkpoint protocol (checkpoint.py docstring, step 4).
+    """
+    writer = df.writeStream.foreachBatch(
+        make_batch_writer(identifier, partition_cols)
+    ).option("checkpointLocation", checkpoint_path)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 SESSION_SCHEMA = (
     "user_id string, session_start timestamp, session_end timestamp, n_events long"
 )

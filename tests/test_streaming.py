@@ -119,3 +119,51 @@ def test_windowed_counts_match_batch_oracle(spark, pages_dir):
         .collect()
     }
     assert got == oracle and len(got) > 0
+
+
+def test_table_sink_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch table sink: replaying the SAME epoch (the crash
+    window between table write and checkpoint commit) must REPLACE its
+    batch partition, not append duplicates; a new epoch appends."""
+    from juniper_syslog_filter_spark.streaming import make_batch_writer
+
+    path = str(tmp_path / "sink_t")
+    wb = make_batch_writer(path, partition_cols=["event_type"])
+    b0 = spark.createDataFrame(
+        [(1, "click"), (2, "view")], "event_id: long, event_type: string"
+    )
+    wb(b0, 0)
+    assert spark.read.parquet(path).count() == 2
+    # replay epoch 0 (same batch_id) -> same rows, no duplicates
+    wb(b0, 0)
+    assert spark.read.parquet(path).count() == 2
+    # a genuinely new epoch appends
+    b1 = spark.createDataFrame([(3, "click")], "event_id: long, event_type: string")
+    wb(b1, 1)
+    got = spark.read.parquet(path)
+    assert got.count() == 3
+    assert got.select("_batch_id").distinct().count() == 2
+
+
+def test_table_sink_stream_drain(spark, tmp_path, pages_dir):
+    """End-to-end: stream pages -> parse -> table sink via foreachBatch;
+    row count equals the batch parse, and a second drain over the same
+    checkpoint writes nothing new."""
+    from juniper_syslog_filter_spark.streaming import (
+        read_pages_stream,
+        start_table_sink,
+    )
+
+    sink = str(tmp_path / "sink_e2e")
+    ckpt = str(tmp_path / "ckpt_e2e")
+    parsed = parse_pages(read_pages_stream(spark, pages_dir))
+    q = start_table_sink(parsed, sink, ckpt)
+    q.awaitTermination()
+    want = parse_pages(spark.read.parquet(pages_dir)).count()
+    assert spark.read.parquet(sink).count() == want
+    # re-drain: no new files -> no new rows
+    q2 = start_table_sink(
+        parse_pages(read_pages_stream(spark, pages_dir)), sink, ckpt
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(sink).count() == want
