@@ -1296,6 +1296,121 @@ def q_sj1_salted_skew_join(spark, sf_dir):
     return salted_join(d, dim, on="source", entropy_col="doc_id", n_salts=8)
 
 
+# ---------------------------------------------------------------------------
+# URL family: host census + normalization dedup over Common-Crawl-style
+# URLs (the input_hint's url column, synthesized deterministically from
+# documents so both engines see identical strings).
+# ---------------------------------------------------------------------------
+
+# Shared url definition (SQL twin of _docs_with_url): host case varies
+# with doc_id parity, the path ends in a trailing slash, and the query
+# + fragment carry per-doc noise — so host extraction (h1) and URL
+# normalization (d8) both have real work to do. host mod 13 x path
+# mod 25 means ids 325 apart collide post-normalization (175 dup
+# groups in the 500-doc sf0.01 table).
+_URL_SQL = """
+    'https://' || CASE WHEN doc_id % 2 = 0 THEN 'News' ELSE 'news' END
+        || (doc_id % 13)::VARCHAR || '.Example.com'
+        || '/article/' || (doc_id % 25)::VARCHAR
+        || '/?utm_source=' || source || '&id=' || doc_id::VARCHAR || '#top'
+"""
+
+
+def _docs_with_url(spark, sf_dir):
+    """documents + the deterministic url column (:data:`_URL_SQL` twin)."""
+    d = load_table(spark, sf_dir, "documents")
+    host = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("News")).otherwise(F.lit("news")),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit(".Example.com"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/article/"),
+        (F.col("doc_id") % 25).cast("string"),
+        F.lit("/?utm_source="),
+        F.col("source"),
+        F.lit("&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("#top"),
+    )
+    return d.withColumn("url", url)
+
+
+def q_h1_host_stats(spark, sf_dir):
+    """Per-host census over Common-Crawl-style URLs: JVM ``parse_url``
+    host extraction (no Python, stays in whole-stage codegen),
+    lowercased, then ONE partial+final aggregate on the host key. The
+    hot-host distribution this emits is exactly what sizes the salting
+    in sj1/pipeline at real scale — at 100 TB it is the first census a
+    crawl pipeline runs."""
+    d = _docs_with_url(spark, sf_dir)
+    host = F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("host")
+    return (
+        d.select(host, "n_chars", "lang")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+def q_d8_url_dedup(spark, sf_dir):
+    """URL-normalization dup census — the web-crawl twin of d1 and the
+    first, cheapest dedup pass a crawl pipeline runs (one shuffle on
+    the normalized key, no content hashing): strip scheme, query and
+    fragment, drop the trailing slash, lowercase, then report groups
+    with >1 raw url and the kept (min) doc_id."""
+    d = _docs_with_url(spark, sf_dir)
+    norm = F.lower(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("url"), "^https?://", ""),
+                "[?#].*$",
+                "",
+            ),
+            "/$",
+            "",
+        )
+    ).alias("norm_url")
+    return (
+        d.select(norm, "doc_id")
+        .groupBy("norm_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .where(F.col("n_dupes") > 1)
+    )
+
+
+def q_u2_latest_state(spark, sf_dir):
+    """Keep-latest-per-key compaction — the MERGE/current-state table a
+    log pipeline maintains (reference keeps only the newest extract per
+    stage dir, main.py's overwrite-on-rerun semantics; here per device/
+    user): one row_number window per user, rn=1. Single shuffle on the
+    key; at real scale this is the sort-merge compaction an Iceberg
+    upsert runs per partition."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("ts").alias("last_ts"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_filter_keyword": q_p1_filter_keyword,
     "p2_filter_severity": q_p2_filter_severity,
@@ -1369,6 +1484,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st5_stream_static_join": q_st5_stream_static_join,
     # composed corpus build: quality -> langid -> dedup -> split census
     "cp1_corpus_pipeline": q_cp1_corpus_pipeline,
+    # URL family: parse_url host census + normalization dedup
+    "h1_host_stats": q_h1_host_stats,
+    "d8_url_dedup": q_d8_url_dedup,
+    # keep-latest-per-key compaction (current-state / upsert semantics)
+    "u2_latest_state": q_u2_latest_state,
 }
 
 
@@ -2073,5 +2193,35 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT vec_id, label, cos_sim FROM sims
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+    """,
+    "h1_host_stats": f"""
+        WITH u AS (SELECT {_URL_SQL} AS url, n_chars, lang FROM documents)
+        SELECT lower(split_part(split_part(url, '//', 2), '/', 1)) AS host,
+               count(*) AS n_pages,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM u GROUP BY 1
+    """,
+    "d8_url_dedup": f"""
+        WITH u AS (SELECT {_URL_SQL} AS url, doc_id FROM documents),
+        n AS (
+          SELECT lower(regexp_replace(regexp_replace(regexp_replace(
+                   url, '^https?://', ''), '[?#].*$', ''), '/$', '')) AS norm_url,
+                 doc_id
+          FROM u
+        )
+        SELECT norm_url, count(*) AS n_dupes, min(doc_id) AS keeper_doc
+        FROM n GROUP BY 1 HAVING count(*) > 1
+    """,
+    "u2_latest_state": """
+        WITH r AS (
+          SELECT user_id, event_id, event_type, ts, value,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        )
+        SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+               ts AS last_ts, round(value, 2) AS last_value
+        FROM r WHERE rn = 1
     """,
 }

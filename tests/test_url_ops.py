@@ -1,0 +1,87 @@
+"""URL-family driver queries: parse_url host census (h1), URL
+normalization dedup (d8), and keep-latest-per-key compaction (u2).
+Semantics are pinned against the closed-form structure of the
+synthesized url column (driver_queries._URL_SQL): host = doc_id mod 13
+(case folded), normalized url = (doc_id mod 13, doc_id mod 25), so ids
+exactly 325 apart — and only those — collide after normalization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from juniper_syslog_filter_spark.driver_queries import QUERIES
+
+SF = "/root/testdata/sf0.001"  # 500 documents, 1000 events
+
+
+def test_h1_hosts_lowercased_and_complete(spark):
+    rows = QUERIES["h1_host_stats"](spark, SF).collect()
+    hosts = {r["host"] for r in rows}
+    assert hosts == {f"news{i}.example.com" for i in range(13)}
+    assert all(h == h.lower() for h in hosts)
+    assert sum(r["n_pages"] for r in rows) == 500
+
+
+def test_d8_dup_groups_are_exactly_ids_325_apart(spark):
+    rows = QUERIES["d8_url_dedup"](spark, SF).collect()
+    # 500 docs, collision period lcm(13, 25) = 325 -> ids 0..174 each
+    # pair with id+325; nothing else collides.
+    assert len(rows) == 175
+    assert all(r["n_dupes"] == 2 for r in rows)
+    assert {r["keeper_doc"] for r in rows} == set(range(175))
+
+
+def test_d8_normalization_strips_case_query_fragment_slash(spark):
+    df = spark.createDataFrame(
+        [(0, "x"), (325, "y")], "doc_id long, source string"
+    ).withColumn("n_chars", F.lit(1)).withColumn("lang", F.lit("en"))
+    # route the fixture through the same synthesis + census
+    from juniper_syslog_filter_spark import driver_queries as DQ
+
+    orig = DQ.load_table
+    try:
+        DQ.load_table = lambda spark_, sf_, name: df  # noqa: ARG005
+        out = QUERIES["d8_url_dedup"](spark, SF).collect()
+    finally:
+        DQ.load_table = orig
+    assert len(out) == 1
+    assert out[0]["norm_url"] == "news0.example.com/article/0"
+    assert out[0]["n_dupes"] == 2 and out[0]["keeper_doc"] == 0
+
+
+def test_u2_one_row_per_user_and_it_is_the_latest(spark):
+    out = QUERIES["u2_latest_state"](spark, SF)
+    rows = out.collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert len(rows) == ev.select("user_id").distinct().count()
+    # spot-check one user against the brute-force max
+    uid = rows[0]["user_id"]
+    latest = (
+        ev.where(F.col("user_id") == uid)
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .first()
+    )
+    got = next(r for r in rows if r["user_id"] == uid)
+    assert got["last_event_id"] == latest["event_id"]
+    assert got["last_ts"] == latest["ts"]
+
+
+def test_u2_plan_has_windowgrouplimit_and_one_shuffle(spark):
+    """The rn=1 filter must push a per-partition group-limit below the
+    shuffle (WindowGroupLimit), and the whole compaction is ONE key
+    exchange — the property that makes it viable as a per-partition
+    Iceberg upsert at 100 TB."""
+    df = QUERIES["u2_latest_state"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_h1_host_extraction_stays_jvm_side(spark):
+    plan = (
+        QUERIES["h1_host_stats"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan
