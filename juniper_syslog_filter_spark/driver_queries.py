@@ -1411,6 +1411,64 @@ def q_u2_latest_state(spark, sf_dir):
     )
 
 
+def q_fn1_funnel(spark, sf_dir):
+    """Ordered conversion funnel (signup -> click -> purchase, each step
+    strictly AFTER the user's previous step): per-step min-ts chaining —
+    three key aggregates + two equi-joins, no window over the whole
+    event stream and no pair explosion. The user dimension shrinks at
+    every step, so at 100 TB each successive join is smaller than the
+    last (and broadcastable once the funnel narrows)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    a = s.agg(F.count(F.lit(1)).alias("n_signup"))
+    b = c.agg(F.count(F.lit(1)).alias("n_signup_click"))
+    d = p.agg(F.count(F.lit(1)).alias("n_full_funnel"))
+    # three 1-row aggregates — the crossJoins are broadcast singletons
+    return a.crossJoin(b).crossJoin(d)
+
+
+def q_r1_retention(spark, sf_dir):
+    """Retention cohorts: users grouped by first-seen day, activity
+    counted per day offset — THE telemetry aggregate. The cohort dim is
+    one row per user (broadcast after AQE at this scale; a co-located
+    bucketed join on user_id at real scale), then one partial+final
+    aggregate on (cohort_day, day_offset)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(cohort, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_filter_keyword": q_p1_filter_keyword,
     "p2_filter_severity": q_p2_filter_severity,
@@ -1489,6 +1547,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d8_url_dedup": q_d8_url_dedup,
     # keep-latest-per-key compaction (current-state / upsert semantics)
     "u2_latest_state": q_u2_latest_state,
+    # ordered conversion funnel + retention cohorts (telemetry analytics)
+    "fn1_funnel": q_fn1_funnel,
+    "r1_retention": q_r1_retention,
 }
 
 
@@ -2223,5 +2284,33 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, event_id AS last_event_id, event_type AS last_type,
                ts AS last_ts, round(value, 2) AS last_value
         FROM r WHERE rn = 1
+    """,
+    "fn1_funnel": """
+        WITH s AS (
+          SELECT user_id, min(ts) AS s_ts FROM events
+          WHERE event_type = 'signup' GROUP BY 1
+        ),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS c_ts
+          FROM events e JOIN s USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s.s_ts GROUP BY 1
+        ),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS p_ts
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1
+        )
+        SELECT (SELECT count(*) FROM s) AS n_signup,
+               (SELECT count(*) FROM c) AS n_signup_click,
+               (SELECT count(*) FROM p) AS n_full_funnel
+    """,
+    "r1_retention": """
+        WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        SELECT c.cohort_day,
+               CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT) AS day_offset,
+               count(DISTINCT d.user_id) AS n_active
+        FROM d JOIN c USING (user_id)
+        GROUP BY 1, 2
     """,
 }

@@ -1,0 +1,79 @@
+"""Funnel (fn1) and retention-cohort (r1) semantics on hand-built
+fixtures with known drop-off — the sf tables are too converged (every
+user completes the funnel) to distinguish ordered from unordered
+counting, which is exactly the bug class these pin."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from juniper_syslog_filter_spark import driver_queries as DQ
+
+SF = "/root/testdata/sf0.001"
+
+
+def _with_fixture(spark, rows, fn):
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    df = df.withColumn("event_id", F.monotonically_increasing_id()).withColumn(
+        "value", F.lit(1.0)
+    )
+    orig = DQ.load_table
+    try:
+        DQ.load_table = lambda spark_, sf_, name: df  # noqa: ARG005
+        return fn()
+    finally:
+        DQ.load_table = orig
+
+
+def _t(h):
+    return dt.datetime(2024, 1, 1, h)
+
+
+def test_funnel_requires_strict_step_order(spark):
+    rows = [
+        # u1: full ordered funnel
+        (1, "signup", _t(1)), (1, "click", _t(2)), (1, "purchase", _t(3)),
+        # u2: purchase BEFORE any click -> stops after signup
+        (2, "signup", _t(1)), (2, "purchase", _t(2)),
+        # u3: click BEFORE signup -> the click must not count
+        (3, "click", _t(1)), (3, "signup", _t(2)),
+        # u4: never signs up -> invisible to every step
+        (4, "click", _t(1)), (4, "purchase", _t(2)),
+    ]
+    got = _with_fixture(
+        spark, rows, lambda: DQ.QUERIES["fn1_funnel"](spark, SF).collect()
+    )[0]
+    assert (got["n_signup"], got["n_signup_click"], got["n_full_funnel"]) == (3, 1, 1)
+
+
+def test_funnel_is_monotone_on_real_table(spark):
+    got = DQ.QUERIES["fn1_funnel"](spark, SF).collect()[0]
+    assert got["n_signup"] >= got["n_signup_click"] >= got["n_full_funnel"]
+
+
+def test_retention_offsets_from_first_seen_day(spark):
+    d0, d1 = dt.datetime(2024, 1, 1, 5), dt.datetime(2024, 1, 2, 5)
+    rows = [
+        (1, "view", d0), (1, "view", d1), (1, "click", d1),  # cohort d0
+        (2, "view", d1),  # cohort d1
+    ]
+    got = _with_fixture(
+        spark, rows, lambda: DQ.QUERIES["r1_retention"](spark, SF).collect()
+    )
+    cells = {(r["cohort_day"].isoformat(), r["day_offset"]): r["n_active"] for r in got}
+    assert cells == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-02", 0): 1,
+    }
+
+
+def test_retention_day0_equals_cohort_size(spark):
+    """Every user is active on their own first-seen day, so the offset-0
+    column must sum to the number of distinct users."""
+    rows = DQ.QUERIES["r1_retention"](spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_active"] for r in rows if r["day_offset"] == 0) == n_users
