@@ -1469,6 +1469,42 @@ def q_r1_retention(spark, sf_dir):
     )
 
 
+def q_w8_running_total(spark, sf_dir):
+    """Per-user cumulative (unbounded-preceding) running count and sum
+    over the event stream — the standard telemetry balance/meter query.
+    The window's total order (ts, event_id) fixes the double-sum fold
+    order, so Spark and DuckDB accumulate bit-identically (same trick
+    as s1's left-to-right dot product); one shuffle + one sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+        F.round(F.sum("value").over(w), 2).alias("value_so_far"),
+    )
+
+
+def q_a6_histogram(spark, sf_dir):
+    """Fixed-width histogram of the value column (width-5 bins on
+    floor(value/5)): integer bin key -> one partial+final aggregate.
+    The flooring is exact on both engines (value is a double; floor of
+    double/int is IEEE-identical), so the bins are deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / F.lit(5.0)).cast("long").alias("bin")
+    return (
+        ev.select(bin_)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_filter_keyword": q_p1_filter_keyword,
     "p2_filter_severity": q_p2_filter_severity,
@@ -1550,6 +1586,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ordered conversion funnel + retention cohorts (telemetry analytics)
     "fn1_funnel": q_fn1_funnel,
     "r1_retention": q_r1_retention,
+    # cumulative running window + fixed-width histogram
+    "w8_running_total": q_w8_running_total,
+    "a6_histogram": q_a6_histogram,
 }
 
 
@@ -2312,5 +2351,17 @@ ORACLE_SQL: dict[str, str] = {
                count(DISTINCT d.user_id) AS n_active
         FROM d JOIN c USING (user_id)
         GROUP BY 1, 2
+    """,
+    "w8_running_total": """
+        SELECT user_id, event_id,
+               count(*) OVER w AS n_so_far,
+               round(sum(value) OVER w, 2) AS value_so_far
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "a6_histogram": """
+        SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS n
+        FROM events GROUP BY 1
     """,
 }

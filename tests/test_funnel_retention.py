@@ -77,3 +77,37 @@ def test_retention_day0_equals_cohort_size(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     n_users = ev.select("user_id").distinct().count()
     assert sum(r["n_active"] for r in rows if r["day_offset"] == 0) == n_users
+
+
+def test_running_total_final_row_equals_group_totals(spark):
+    """The last cumulative row per user must equal the user's plain
+    aggregate — ties the window fold to the groupBy the rest of the
+    suite already trusts."""
+    rows = DQ.QUERIES["w8_running_total"](spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    finals = {}
+    for r in rows:  # max n_so_far per user is the final cumulative row
+        cur = finals.get(r["user_id"])
+        if cur is None or r["n_so_far"] > cur["n_so_far"]:
+            finals[r["user_id"]] = r
+    want = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .collect()
+    }
+    assert len(finals) == len(want)
+    for uid, fin in finals.items():
+        assert fin["n_so_far"] == want[uid]["n"]
+        # cumulative fold rounds at the END row; equal up to the cent
+        assert abs(fin["value_so_far"] - want[uid]["total"]) < 0.02
+
+
+def test_histogram_bins_partition_the_table(spark):
+    rows = DQ.QUERIES["a6_histogram"](spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert sum(r["n"] for r in rows) == ev.count()
+    assert len({r["bin"] for r in rows}) == len(rows)
