@@ -142,3 +142,50 @@ def test_expression_variants_match_python_re(spark):
         assert r.protocol == re.search(P.PROTOCOL_PATTERN, r.Message).group(1)
         assert r.lvl == re.search(P.SEVERITY_LEVEL_PATTERN, r.Message).group(1)
         assert r.sev == re.search(P.SEVERITY_PATTERN, r.Message).group(1)
+
+
+def test_narrowing_is_byte_exact_on_adversarial_prefixes(spark):
+    """parse_pages narrows html JVM-side to the first-marker tail before the
+    Arrow transfer (parse.py). The slice must be byte-exact vs a full-page
+    driver decode for: multibyte valid prefixes, INVALID UTF-8 (incl. a lead
+    byte that shadows the marker from the char-boundary walk — the
+    is_valid_utf8 fallback path), multiple markers, and marker-in-prefix
+    pages with the real record later."""
+    mk = '<pre class="log">'
+    pages = {
+        "a_ascii": f'junk {mk}2025-01-01T00:00:00Z h app m1 Severity=HIGH</pre> tail',
+        "b_multibyte": f'héllo 中文 🙂 {mk}2025-01-01T00:00:00Z h app m2</pre>',
+        # invalid lead byte IMMEDIATELY before the marker: boundary walk
+        # would step over it — must take the unnarrowed fallback and still
+        # match the FIRST record, not the second.
+        "c_shadowed": None,
+        "d_scattered_invalid": None,
+        "e_two_markers": f'x {mk}t1 h1 a1 first</pre> y {mk}t2 h2 a2 second</pre>',
+    }
+    rows = []
+    for url, txt in pages.items():
+        if url == "c_shadowed":
+            html = b'\xf0' + f'{mk}t h a first</pre>{mk}t2 h2 a2 second</pre>'.encode()
+        elif url == "d_scattered_invalid":
+            html = b'\xff\xfe pfx \x80' + f'{mk}t h a m5 protocol=udp</pre>'.encode()
+        else:
+            html = txt.encode()
+        rows.append({
+            "url": url,
+            "warc_ts": pd.Timestamp("2025-04-28T01:02:03"),
+            "html": html,
+            "text": "x",
+            "lang": "en",
+        })
+    pdf = pd.DataFrame(rows)
+    got = {r.url: r for r in P.parse_pages(spark.createDataFrame(pdf)).collect()}
+
+    block = re.compile(P.LOG_BLOCK_PATTERN)
+    for _, row in pdf.iterrows():
+        m = block.search(row["html"].decode("utf-8", errors="replace"))
+        assert row["url"] in got, row["url"]
+        r = got[row["url"]]
+        assert r.Timestamp == m.group(1), row["url"]
+        assert r.Message == m.group(4), row["url"]
+    assert got["c_shadowed"].Message == "first"
+    assert got["e_two_markers"].Message == "first"
