@@ -1505,6 +1505,63 @@ def q_a6_histogram(spark, sf_dir):
     )
 
 
+def q_t11_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (functions/text.py
+    repetition_exprs): duplicate word fraction + duplicate word-bigram
+    fraction per doc. Pure map-side — two fused array passes per row
+    (split once, one zip_with for bigrams), no shuffle, no Python; at
+    100 TB this rides the same scan as the other per-doc quality
+    columns."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = T.repetition_exprs(F.col("text"))
+    return d.select(
+        "doc_id",
+        ex["n_words"].alias("n_words"),
+        ex["uniq_words"].alias("uniq_words"),
+        ex["uniq_bigrams"].alias("uniq_bigrams"),
+        ex["dup_word_frac"].alias("dup_word_frac"),
+        ex["dup_bigram_frac"].alias("dup_bigram_frac"),
+    )
+
+
+def q_d9_incremental_dedup(spark, sf_dir):
+    """Incremental ingest dedup (operators/dedup.py
+    incremental_exact_dedup): the 'new crawl drop vs existing corpus
+    store' shape. Corpus = docs with doc_id%5<3 (their md5 fingerprint
+    store); batch = the rest. Survivors = batch docs whose fp is not in
+    the store, first-per-fp within the batch."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    corpus = d.where(F.col("doc_id") % 5 < 3).select("fp").distinct()
+    batch = d.where(F.col("doc_id") % 5 >= 3)
+    return D.incremental_exact_dedup(batch, corpus, "doc_id", "fp").select(
+        "fp", "doc_id", "source"
+    )
+
+
+def q_cp2_token_budget(spark, sf_dir):
+    """Per-language token-budget corpus cut (operators/sampling.py
+    token_budget_select): rank docs inside each lang by length desc
+    (doc_id tie-break), keep the greedy prefix whose running whitespace
+    token count stays ≤ 2500. One window shuffle; cum sum is exact
+    integer arithmetic on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    scored = d.select(
+        "doc_id", "lang", "n_chars", toks.alias("tokens")
+    )
+    from .operators.sampling import token_budget_select
+
+    return token_budget_select(
+        scored,
+        "lang",
+        "tokens",
+        2500,
+        [F.desc("n_chars"), F.asc("doc_id")],
+    ).select("lang", "doc_id", "tokens", "cum_tokens")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_filter_keyword": q_p1_filter_keyword,
     "p2_filter_severity": q_p2_filter_severity,
@@ -1589,6 +1646,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cumulative running window + fixed-width histogram
     "w8_running_total": q_w8_running_total,
     "a6_histogram": q_a6_histogram,
+    "t11_repetition": q_t11_repetition,
+    "d9_incremental_dedup": q_d9_incremental_dedup,
+    "cp2_token_budget": q_cp2_token_budget,
 }
 
 
@@ -2363,5 +2423,56 @@ ORACLE_SQL: dict[str, str] = {
     "a6_histogram": """
         SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin, count(*) AS n
         FROM events GROUP BY 1
+    """,
+    "t11_repetition": """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        g AS (
+          SELECT doc_id, ws,
+                 CASE WHEN len(ws) >= 2
+                      THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                      ELSE [] END AS grams
+          FROM w
+        )
+        SELECT doc_id,
+               len(ws) AS n_words,
+               len(list_distinct(ws)) AS uniq_words,
+               len(list_distinct(grams)) AS uniq_bigrams,
+               round(1 - len(list_distinct(ws)) / len(ws)::DOUBLE, 6)
+                 AS dup_word_frac,
+               CASE WHEN len(grams) > 0
+                    THEN round(1 - len(list_distinct(grams))
+                               / len(grams)::DOUBLE, 6)
+                    ELSE 0.0 END AS dup_bigram_frac
+        FROM g
+    """,
+    "d9_incremental_dedup": """
+        WITH f AS (
+          SELECT doc_id, source, md5(text) AS fp FROM documents
+        ),
+        corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id % 5 < 3),
+        batch AS (SELECT * FROM f WHERE doc_id % 5 >= 3),
+        fresh AS (SELECT b.* FROM batch b ANTI JOIN corpus c USING (fp)),
+        w AS (SELECT fp, min(doc_id) AS doc_id FROM fresh GROUP BY 1)
+        SELECT fr.fp, fr.doc_id, fr.source
+        FROM fresh fr SEMI JOIN w ON fr.fp = w.fp AND fr.doc_id = w.doc_id
+    """,
+    "cp2_token_budget": """
+        WITH t AS (
+          SELECT doc_id, lang, n_chars,
+                 len(string_split(text, ' ')) AS tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT lang, doc_id, tokens,
+                 CAST(sum(tokens) OVER (
+                   PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS cum_tokens
+          FROM t
+        )
+        SELECT lang, doc_id, tokens, cum_tokens FROM c
+        WHERE cum_tokens <= 2500
     """,
 }

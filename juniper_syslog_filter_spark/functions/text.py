@@ -262,3 +262,55 @@ def quality_rule_sql(text: str, n_chars: str) -> str:
              WHEN {stop_frac} < 0.04 THEN 'low_stopword'
              ELSE 'keep' END
     """
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals — Gopher-style quality rules (Rae et al. 2021 §A1.1:
+# documents dominated by repeated lines/n-grams are boilerplate/spam).
+# Over single-block web text the line rules degenerate, so the signals
+# here are the duplicate word fraction and duplicate word-bigram
+# fraction, both exactly restatable in ANSI SQL (list comprehension on
+# the DuckDB side) for the oracle gate.
+# ---------------------------------------------------------------------------
+
+
+def word_bigrams(col: Column) -> Column:
+    """``array<string>`` of adjacent word pairs ("w1 w2") of the
+    whitespace tokenization; empty array for docs with <2 words.
+
+    ONE ``zip_with`` pass over two array slices — JVM-side, no shuffle,
+    no Python. (Contrast with the per-k shingle loops that made d2's
+    expression form explode: this is a single fused pass, the same
+    budget as ``t6``'s regexp pass, linear in doc length.)
+    """
+    words = F.split(col, " ")
+    n = F.size(words)
+    grams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_exprs(col: Column) -> dict[str, Column]:
+    """Per-doc repetition stats: ``n_words``, ``uniq_words``,
+    ``n_bigrams``, ``uniq_bigrams``, ``dup_word_frac``,
+    ``dup_bigram_frac`` (fracs rounded to 6, the driver-hash float
+    convention)."""
+    words = F.split(col, " ")
+    grams = word_bigrams(col)
+    n_words = F.size(words)
+    uniq_words = F.size(F.array_distinct(words))
+    n_bigrams = F.size(grams)
+    uniq_bigrams = F.size(F.array_distinct(grams))
+    return {
+        "n_words": n_words,
+        "uniq_words": uniq_words,
+        "n_bigrams": n_bigrams,
+        "uniq_bigrams": uniq_bigrams,
+        "dup_word_frac": F.round(1 - uniq_words / n_words, 6),
+        "dup_bigram_frac": F.when(
+            n_bigrams > 0, F.round(1 - uniq_bigrams / n_bigrams, 6)
+        ).otherwise(F.lit(0.0)),
+    }

@@ -730,3 +730,34 @@ def passage_dup_stats(
             F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias("n_dup"),
         )
     )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    corpus_fps: DataFrame,
+    id_col: str,
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Dedup a NEW ingest batch against an existing corpus fingerprint
+    store — the steady-state shape of crawl ingestion (each crawl drop
+    dedups against everything already accepted, not against itself
+    alone; re-running the full-corpus dedup per drop would be O(corpus)
+    every time).
+
+    ``corpus_fps`` is the stored fingerprint table (one ``fp_col``
+    column; at real scale an Iceberg table bucketed by fp so this
+    anti-join is storage-partition-aligned). Two steps, both on the fp
+    key: (1) left-anti join drops batch rows whose fingerprint is
+    already in the store; (2) a min-id winner semi-join settles
+    batch-internal duplicates. Survivors (plus the winners' fps) are
+    what gets appended to the store for the next batch.
+
+    Scale: both joins shuffle on ``fp_col`` only — with the store
+    bucketed by fp the anti-join's store side needs no exchange, and a
+    runtime bloom filter on the (much smaller) batch side prunes store
+    partitions (same AQE mechanism pinned in tests/test_plans.py for
+    the semi-join family).
+    """
+    fresh = batch.join(corpus_fps.select(fp_col), fp_col, "left_anti")
+    winners = fresh.groupBy(fp_col).agg(F.min(id_col).alias(id_col))
+    return fresh.join(winners, [fp_col, id_col], "left_semi")

@@ -100,3 +100,35 @@ def train_val_split(
         .when(bucket < val_hex, "val")
         .otherwise("train"),
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget: int,
+    order_cols: list,
+) -> DataFrame:
+    """Greedy prefix selection under a per-group token budget — the
+    corpus-mix step that fills each language/domain bucket with its
+    best documents until the budget is hit (how a 100-TB corpus is cut
+    to a fixed token count per language).
+
+    Rows are ranked inside ``group_col`` by ``order_cols`` (must be
+    deterministic and total — include the id as final tie-break) and
+    kept while the running ``token_col`` sum stays ≤ ``budget``. Adds
+    ``cum_tokens`` (long). Exactly one shuffle (the window partition);
+    the running sum is a single sort-based window — no iteration, no
+    driver state. Skew note: a group is one reducer here by design
+    (the running sum is sequential); with 10⁹-doc groups, pre-trim with
+    a cheap per-partition quota (``group_quota``) first, since the
+    budget prefix can never exceed budget/min_tokens rows.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "cum_tokens", F.sum(F.col(token_col).cast("long")).over(w)
+    ).filter(F.col("cum_tokens") <= budget)

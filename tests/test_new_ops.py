@@ -317,3 +317,107 @@ def test_salted_join_deterministic_across_runs(spark):
     a = salted_join(fact, dim, on="k", entropy_col="row_id", n_salts=8)
     b = salted_join(fact, dim, on="k", entropy_col="row_id", n_salts=8)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# repetition_exprs / word_bigrams
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_exprs_hand_computed(spark):
+    from juniper_syslog_filter_spark.functions.text import repetition_exprs
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),   # words 5/uniq 3; bigrams [a b, b a, a b, b c] 4/uniq 3
+            (2, "x"),            # single word: no bigrams -> frac 0.0
+            (3, "p q r"),        # all unique
+        ],
+        "doc_id long, text string",
+    )
+    ex = repetition_exprs(F.col("text"))
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in ex.items()]
+        ).collect()
+    }
+    r1 = rows[1]
+    assert (r1.n_words, r1.uniq_words, r1.n_bigrams, r1.uniq_bigrams) == (5, 3, 4, 3)
+    assert r1.dup_word_frac == pytest.approx(0.4)
+    assert r1.dup_bigram_frac == pytest.approx(0.25)
+    assert rows[2].n_bigrams == 0 and rows[2].dup_bigram_frac == 0.0
+    assert rows[3].dup_word_frac == 0.0 and rows[3].dup_bigram_frac == 0.0
+
+
+# ---------------------------------------------------------------------------
+# incremental_exact_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_store_hit_and_batch_internal(spark):
+    from juniper_syslog_filter_spark.operators.dedup import incremental_exact_dedup
+
+    batch = spark.createDataFrame(
+        [
+            (10, "already-in-store"),
+            (11, "new-text"),
+            (12, "new-text"),      # batch-internal dup: 11 wins
+            (13, "other-new"),
+        ],
+        "doc_id long, text string",
+    ).select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
+    store = spark.createDataFrame(
+        [("already-in-store",), ("never-in-batch",)], "text string"
+    ).select(F.md5(F.col("text").cast("binary")).alias("fp"))
+    got = sorted(
+        r.doc_id for r in incremental_exact_dedup(batch, store, "doc_id").collect()
+    )
+    assert got == [11, 13]
+
+
+def test_incremental_dedup_equals_full_dedup_on_union(spark):
+    """Ingesting corpus then batch incrementally keeps exactly the docs a
+    one-shot full dedup (min doc_id per fp) would keep, given corpus ids
+    precede batch ids."""
+    rows = [(i, f"text-{i % 7}") for i in range(20)]
+    full = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    corpus = full.where(F.col("doc_id") < 10)
+    batch = full.where(F.col("doc_id") >= 10)
+    from juniper_syslog_filter_spark.operators.dedup import incremental_exact_dedup
+
+    inc_survivors = incremental_exact_dedup(
+        batch, corpus.select("fp").distinct(), "doc_id"
+    )
+    # one-shot winners restricted to batch ids
+    w = full.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    expect = sorted(
+        r.doc_id for r in w.where(F.col("doc_id") >= 10).collect()
+    )
+    assert sorted(r.doc_id for r in inc_survivors.collect()) == expect
+
+
+# ---------------------------------------------------------------------------
+# token_budget_select
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_prefix_and_boundary(spark):
+    from juniper_syslog_filter_spark.operators.sampling import token_budget_select
+
+    df = spark.createDataFrame(
+        [
+            ("en", 1, 40), ("en", 2, 40), ("en", 3, 30),  # cum 40,80,110
+            ("de", 4, 100), ("de", 5, 1),                  # cum 100,101
+        ],
+        "lang string, doc_id long, tokens int",
+    )
+    out = token_budget_select(
+        df, "lang", "tokens", 100, [F.desc("tokens"), F.asc("doc_id")]
+    )
+    got = {(r.lang, r.doc_id): r.cum_tokens for r in out.collect()}
+    # en: 40 (id1), 80 (id2); id3 would hit 110 > 100 -> excluded
+    # de: exactly 100 kept (boundary inclusive); id5 at 101 excluded
+    assert got == {("en", 1): 40, ("en", 2): 80, ("de", 4): 100}
