@@ -752,12 +752,23 @@ def incremental_exact_dedup(
     batch-internal duplicates. Survivors (plus the winners' fps) are
     what gets appended to the store for the next batch.
 
-    Scale: both joins shuffle on ``fp_col`` only — with the store
-    bucketed by fp the anti-join's store side needs no exchange, and a
-    runtime bloom filter on the (much smaller) batch side prunes store
+    Scale: the anti-join shuffles on ``fp_col`` only — with the store
+    bucketed by fp its store side needs no exchange, and a runtime
+    bloom filter on the (much smaller) batch side prunes store
     partitions (same AQE mechanism pinned in tests/test_plans.py for
-    the semi-join family).
+    the semi-join family). Batch-internal winners use a min-id
+    row_number window rather than the agg+semi-join shape: ONE exchange
+    on fp and no recompute of the anti-join subtree (the semi-join form
+    re-runs it for the winner aggregate), with Catalyst's rank-limit
+    pushdown (WindowGroupLimit Partial) capping each map task at one
+    row per fp before the shuffle.
     """
+    from pyspark.sql import Window
+
     fresh = batch.join(corpus_fps.select(fp_col), fp_col, "left_anti")
-    winners = fresh.groupBy(fp_col).agg(F.min(id_col).alias(id_col))
-    return fresh.join(winners, [fp_col, id_col], "left_semi")
+    w = Window.partitionBy(fp_col).orderBy(F.col(id_col).asc())
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
