@@ -1562,6 +1562,21 @@ def q_cp2_token_budget(spark, sf_dir):
     ).select("lang", "doc_id", "tokens", "cum_tokens")
 
 
+def q_d10_incremental_lsh(spark, sf_dir):
+    """Incremental MinHash-LSH near-dup (operators/dedup.py
+    incremental_lsh_candidates): new-batch docs (doc_id%5>=3) compute
+    signatures and probe the stored band-bucket table of already-
+    accepted docs (doc_id%5<3). The combined-membership bucket cap makes
+    the result EXACTLY the full-corpus d2 candidate set restricted to
+    pairs touching the batch — which is what the oracle states."""
+    d = load_table(spark, sf_dir, "documents")
+    store = d.where(F.col("doc_id") % 5 < 3)
+    batch = d.where(F.col("doc_id") % 5 >= 3)
+    sb = D.minhash_buckets(store, "doc_id", "text")
+    bb = D.minhash_buckets(batch, "doc_id", "text")
+    return D.incremental_lsh_candidates(bb, sb)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_filter_keyword": q_p1_filter_keyword,
     "p2_filter_severity": q_p2_filter_severity,
@@ -1649,6 +1664,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t11_repetition": q_t11_repetition,
     "d9_incremental_dedup": q_d9_incremental_dedup,
     "cp2_token_budget": q_cp2_token_budget,
+    "d10_incremental_lsh": q_d10_incremental_lsh,
 }
 
 
@@ -2474,5 +2490,10 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT lang, doc_id, tokens, cum_tokens FROM c
         WHERE cum_tokens <= 2500
+    """,
+    "d10_incremental_lsh": f"""
+        {_LSH_CAND_CTE}
+        SELECT id_a, id_b FROM cand
+        WHERE id_a % 5 >= 3 OR id_b % 5 >= 3
     """,
 }

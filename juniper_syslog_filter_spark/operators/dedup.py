@@ -772,3 +772,68 @@ def incremental_exact_dedup(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def incremental_lsh_candidates(
+    batch_buckets: DataFrame,
+    store_buckets: DataFrame,
+    max_bucket: int | None = 1000,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-dup candidate pairs for a NEW ingest batch against a stored
+    band-bucket table — the MinHash twin of
+    :func:`incremental_exact_dedup` and the production shape of
+    near-dedup at crawl scale: signatures for accepted docs are written
+    once (``minhash_buckets`` → store), and each new drop computes
+    signatures for ITS docs only, then probes the store.
+
+    Emits distinct ``(id_a, id_b)`` with ``id_a < id_b`` covering both
+    store×batch and batch-internal pairs. The ``max_bucket`` cap is
+    applied to the COMBINED (store + batch) bucket membership, so
+    incremental ingestion reproduces exactly the candidate set of a
+    full-corpus :func:`lsh_candidate_pairs` run restricted to pairs
+    touching the batch — the invariant that makes incremental near-dup
+    auditable against the batch run.
+
+    Scale: the store side ships only (band, bucket, id) — at rest this
+    is the stored signature table, bucketed by (band, bucket) so the
+    probe join is storage-aligned; per-bucket store counts are a
+    maintained aggregate there, not recomputed (here they cost one
+    count over the two bucket tables). Both inputs are eagerly
+    materialized by default for the same 3-way plan-reuse race
+    documented in :func:`lsh_candidate_pairs`.
+    """
+    if materialize:
+        batch_buckets = batch_buckets.localCheckpoint(eager=True)
+        store_buckets = store_buckets.localCheckpoint(eager=True)
+    id_col = [c for c in batch_buckets.columns if c not in ("band", "bucket")][0]
+    if max_bucket is not None:
+        sizes = (
+            store_buckets.select("band", "bucket")
+            .unionAll(batch_buckets.select("band", "bucket"))
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "bucket")
+        )
+        store_buckets = store_buckets.join(sizes, ["band", "bucket"])
+        batch_buckets = batch_buckets.join(sizes, ["band", "bucket"])
+    s = store_buckets.alias("s")
+    b = batch_buckets.alias("b")
+    cross = (
+        s.join(b, ["band", "bucket"])
+        .select(
+            F.least(F.col(f"s.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"s.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+    )
+    b2 = batch_buckets.alias("b2")
+    internal = (
+        b.join(b2, ["band", "bucket"])
+        .filter(F.col(f"b.{id_col}") < F.col(f"b2.{id_col}"))
+        .select(
+            F.col(f"b.{id_col}").alias("id_a"),
+            F.col(f"b2.{id_col}").alias("id_b"),
+        )
+    )
+    return cross.unionAll(internal).distinct()

@@ -148,3 +148,40 @@ def test_passage_dup_stats(spark):
     got = {r["doc_id"]: (r["n_pass"], r["n_dup"]) for r in
            D.passage_dup_stats(df, "doc_id", "text", window=10).collect()}
     assert got == {1: (2, 2), 2: (2, 1), 4: (1, 1)}
+
+
+def test_incremental_lsh_equals_full_run_restricted_to_batch(spark):
+    """incremental_lsh_candidates (new batch vs stored buckets) must
+    reproduce exactly the full-corpus lsh_candidate_pairs output
+    restricted to pairs touching the batch — including cap behavior,
+    because the cap counts COMBINED bucket membership."""
+    base = [
+        "the quick brown fox jumps over the lazy dog number %d",
+        "spark shuffles partitions across executors run %d",
+        "completely unrelated text about web crawling at scale %d",
+    ]
+    rows = [(i, base[i % 3] % (i % 5)) for i in range(30)]
+    # a spam cluster: identical text, large bucket (exercises the cap)
+    rows += [(100 + i, "boilerplate footer all rights reserved") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    full_b = D.minhash_buckets(docs, "doc_id", "text", n_bands=4, rows_per_band=2)
+    full = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs(full_b, max_bucket=6).collect()
+    }
+    is_batch = lambda i: i % 2 == 1  # odd ids are the new batch
+    expect = {p for p in full if is_batch(p[0]) or is_batch(p[1])}
+
+    store = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    sb = D.minhash_buckets(store, "doc_id", "text", n_bands=4, rows_per_band=2)
+    bb = D.minhash_buckets(batch, "doc_id", "text", n_bands=4, rows_per_band=2)
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.incremental_lsh_candidates(bb, sb, max_bucket=6).collect()
+    }
+    assert got == expect
+    assert expect, "fixture must produce candidate pairs"
+    # the 8-doc spam bucket must have been capped out on both paths
+    assert not any(a >= 100 and b >= 100 for a, b in got)
