@@ -1577,6 +1577,90 @@ def q_d10_incremental_lsh(spark, sf_dir):
     return D.incremental_lsh_candidates(bb, sb)
 
 
+def q_iv1_inverted_index(spark, sf_dir):
+    """Posting-list build (operators/index.py inverted_index): terms
+    whose document frequency lies in the integer-exact relative band
+    [3n/5, 4n/5] get their sorted doc-id posting list. The df census
+    runs BEFORE the list aggregation so out-of-band (stop-word-grade)
+    terms never materialize a posting list on any reducer — the skew
+    guard that makes posting builds survive web scale."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    from .operators.index import inverted_index
+
+    return inverted_index(d, "doc_id", "text", n * 3 // 5, n * 4 // 5)
+
+
+def q_u3_scd2_intervals(spark, sf_dir):
+    """SCD2 validity intervals (operators/history.py scd2_intervals):
+    per-user event_type change points with [valid_from, valid_to)
+    windows, far-future sentinel on the open run. Two windows over ONE
+    shuffle+sort (same partitioning and ordering, Catalyst reuses the
+    Exchange) — the history twin of u2's keep-latest compaction."""
+    from .operators.history import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_intervals(ev, "user_id", "event_type", "ts", ["event_id"])
+
+
+def q_ng1_top_bigrams(spark, sf_dir):
+    """Top-3 word bigrams per language (operators/index.py
+    top_ngrams_per_group over functions/text.py word_bigrams): one
+    fused zip_with pass builds grams in the scan projection, one
+    partial+final count on (lang, gram), and the rk<=3 predicate
+    pushes into WindowGroupLimit so shuffle partitions carry only
+    their top candidates."""
+    from .operators.index import top_ngrams_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    return top_ngrams_per_group(d, "lang", T.word_bigrams(F.col("text")), 3)
+
+
+def q_w9_session_path(spark, sf_dir):
+    """Ordered per-user event-path assembly — the context-assembly
+    shape of LLM-training pipelines (concatenate a user/session's
+    items in time order into one training sequence). sort_array over
+    collect_list(struct(ts,event_id,event_type)) pins the order inside
+    the aggregate (no window, ONE shuffle); the struct's (ts, id)
+    prefix is a total order so the path string is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"), F.col("event_id"), F.col("event_type")
+                        )
+                    )
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+    )
+
+
+def q_w10_concurrency(spark, sf_dir):
+    """Per-user peak interval concurrency (operators/rangejoin.py
+    interval_peak_concurrency): each event opens a half-open 30-minute
+    interval; the keyed sweep-line (+1/-1 deltas, running sum over the
+    total order (t, delta, id), max) finds the peak without any
+    self-join or pair explosion — O(n log n) per key."""
+    from .operators.rangejoin import interval_peak_concurrency
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    return interval_peak_concurrency(
+        ev, "user_id", "start_ts", "end_ts", "event_id"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_filter_keyword": q_p1_filter_keyword,
     "p2_filter_severity": q_p2_filter_severity,
@@ -1665,6 +1749,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d9_incremental_dedup": q_d9_incremental_dedup,
     "cp2_token_budget": q_cp2_token_budget,
     "d10_incremental_lsh": q_d10_incremental_lsh,
+    # posting lists + per-group top n-grams (index family)
+    "iv1_inverted_index": q_iv1_inverted_index,
+    "ng1_top_bigrams": q_ng1_top_bigrams,
+    # SCD2 state history (the change-point twin of u2 keep-latest)
+    "u3_scd2_intervals": q_u3_scd2_intervals,
+    # ordered context assembly + sweep-line concurrency census
+    "w9_session_path": q_w9_session_path,
+    "w10_concurrency": q_w10_concurrency,
 }
 
 
@@ -2495,5 +2587,85 @@ ORACLE_SQL: dict[str, str] = {
         {_LSH_CAND_CTE}
         SELECT id_a, id_b FROM cand
         WHERE id_a % 5 >= 3 OR id_b % 5 >= 3
+    """,
+    "iv1_inverted_index": """
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split(text, ' '))) AS term
+          FROM documents
+        ),
+        c AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        b AS (
+          SELECT term, df FROM c
+          WHERE df BETWEEN (SELECT count(*) * 3 // 5 FROM documents)
+                       AND (SELECT count(*) * 4 // 5 FROM documents)
+        )
+        SELECT b.term, b.df,
+               string_agg(t.doc_id::VARCHAR, ',' ORDER BY t.doc_id)
+                 AS postings
+        FROM t JOIN b USING (term)
+        GROUP BY b.term, b.df
+    """,
+    "ng1_top_bigrams": """
+        WITH w AS (
+          SELECT lang, string_split(text, ' ') AS ws FROM documents
+        ),
+        g AS (
+          SELECT lang,
+                 unnest(CASE WHEN len(ws) >= 2
+                        THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                        ELSE [] END) AS gram
+          FROM w
+        ),
+        c AS (SELECT lang, gram, count(*) AS n FROM g GROUP BY 1, 2),
+        r AS (
+          SELECT lang, gram, n,
+                 CAST(row_number() OVER (
+                   PARTITION BY lang ORDER BY n DESC, gram ASC
+                 ) AS INT) AS rk
+          FROM c
+        )
+        SELECT lang, gram, n, rk FROM r WHERE rk <= 3
+    """,
+    "u3_scd2_intervals": """
+        WITH o AS (
+          SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS prev
+          FROM events
+        ),
+        c AS (
+          SELECT user_id, event_type, ts, event_id FROM o
+          WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id, event_type, ts AS valid_from,
+               coalesce(lead(ts) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id
+                        ),
+                        TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        FROM c
+    """,
+    "w9_session_path": """
+        SELECT user_id,
+               count(*) AS n_events,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id
+    """,
+    "w10_concurrency": """
+        WITH d AS (
+          SELECT user_id AS k, ts AS t, 1 AS d, event_id AS id FROM events
+          UNION ALL
+          SELECT user_id, ts + INTERVAL 30 MINUTE, -1, event_id FROM events
+        ),
+        r AS (
+          SELECT k, sum(d) OVER (
+            PARTITION BY k ORDER BY t, d, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          ) AS live
+          FROM d
+        )
+        SELECT k AS user_id, CAST(max(live) AS BIGINT) AS peak
+        FROM r GROUP BY k
     """,
 }

@@ -68,3 +68,58 @@ def prior_window_count(
             F.sum(F.when(in_window, 1).otherwise(0)).alias(out_col)
         )
     )
+
+
+def interval_peak_concurrency(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+    out_col: str = "peak",
+) -> DataFrame:
+    """Per-key peak number of simultaneously-open intervals — the
+    sweep-line census (half-open ``[start, end)`` semantics).
+
+    Each interval contributes a ``+1`` delta at ``start`` and a ``-1``
+    at ``end``; a running sum over the per-key total order
+    ``(t, delta, id)`` is the live concurrency after each boundary, and
+    its max is the peak. Ordering ``delta`` ascending puts the ``-1``
+    of an interval ending at *t* BEFORE the ``+1`` of one starting at
+    *t* — exactly half-open semantics — and ``id`` makes the order
+    total, so the running sum (and therefore the peak) is
+    deterministic on any engine.
+
+    Scale shape: the sweep is keyed — one Exchange on ``key_col``,
+    per-key sort, running-sum window, max aggregate reusing the same
+    partitioning. No self-join, no pair explosion: O(n log n) per key
+    versus the O(n·density) of the banded-join count above, which is
+    why concurrency censuses sweep instead of join. A GLOBAL (unkeyed)
+    sweep would serialize into one task — at scale, range-partition by
+    time and stitch boundary sums (documented here as the upgrade
+    path; the keyed form covers the per-entity telemetry question).
+    """
+    deltas = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(start_col).alias("_t"),
+        F.lit(1).alias("_d"),
+        F.col(id_col).alias("_id"),
+    ).unionAll(
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.col(end_col).alias("_t"),
+            F.lit(-1).alias("_d"),
+            F.col(id_col).alias("_id"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_t"), F.asc("_d"), F.asc("_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    live = deltas.withColumn("_live", F.sum("_d").over(w))
+    return live.groupBy(F.col("_k").alias(key_col)).agg(
+        F.max("_live").cast("long").alias(out_col)
+    )

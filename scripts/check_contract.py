@@ -1,7 +1,8 @@
 """Local replica of the driver's correctness gate: run every
 ``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB at
 the same sf, compare row count, column names, and order-insensitive
-values. Usage: python scripts/check_contract.py [sf_dir]
+values. Usage: python scripts/check_contract.py [sf_dir] [name_prefix...]
+(prefixes, when given, restrict which queries run)
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, prefixes: list[str] | None = None) -> int:
     import duckdb
 
     import __spark_entry__ as entry_mod
@@ -40,6 +41,12 @@ def main(sf_dir: str) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entry_mod.queries()
+    if prefixes:
+        qs = {
+            n: f
+            for n, f in qs.items()
+            if any(n.startswith(p) for p in prefixes)
+        }
     oracles = entry_mod.oracle_sql()
     failures = []
     for name, fn in qs.items():
@@ -82,11 +89,12 @@ def main(sf_dir: str) -> int:
                         print(f"    first diff:\n      spark={x}\n      duck ={y}")
                         break
 
-    # entry() smoke
-    n = entry_mod.entry(spark).count()
-    print(f"  entry(): {n} rows")
-    if n < 0:
-        failures.append("entry")
+    # entry() smoke (full-suite runs only)
+    if not prefixes:
+        n = entry_mod.entry(spark).count()
+        print(f"  entry(): {n} rows")
+        if n < 0:
+            failures.append("entry")
 
     spark.stop()
     if failures:
@@ -97,4 +105,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            sys.argv[2:] or None,
+        )
+    )
