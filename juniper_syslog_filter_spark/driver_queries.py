@@ -1661,6 +1661,55 @@ def q_w10_concurrency(spark, sf_dir):
     )
 
 
+def q_zo1_zorder_stats(spark, sf_dir):
+    """Z-order layout census (operators/layout.py): Morton-interleave
+    (user_id, day-index) into one key, bucket rows by its top bits —
+    each bucket one aligned Z-curve segment / prospective file — and
+    report per-bucket min/max windows of BOTH dimensions. The windows
+    are the data-skipping proof: tight in x AND y simultaneously,
+    which a single-column sort cannot deliver. Pure codegen'd integer
+    shift/mask arithmetic + one partial+final aggregate."""
+    from .operators.layout import zorder_layout_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return zorder_layout_stats(
+        ev,
+        F.col("user_id"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast(
+            "long"
+        ),
+        bucket_shift=6,
+    )
+
+
+def q_u4_merge_upsert(spark, sf_dir):
+    """MERGE INTO dataflow (operators/merge.py merge_upsert): a
+    deterministic change batch (every 7th event corrected with
+    value+100, every 997th re-keyed +10M as a backfill insert) merges
+    into the events base — matched rows replaced, new keys appended.
+    One narrow anti-join on the change KEYS (AQE broadcasts the small
+    batch) + UNION ALL: the copy-on-write MERGE shape of Iceberg/
+    Delta."""
+    from .operators.merge import merge_upsert
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    upd = (
+        ev.filter(F.col("event_id") % 7 == 0)
+        .withColumn("event_type", F.lit("corrected"))
+        .withColumn("value", F.col("value") + 100)
+    )
+    ins = ev.filter(F.col("event_id") % 997 == 0).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        "ts",
+        "user_id",
+        F.lit("backfill").alias("event_type"),
+        "value",
+    )
+    return merge_upsert(ev, upd.unionByName(ins), ["event_id"])
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p1_filter_keyword": q_p1_filter_keyword,
     "p2_filter_severity": q_p2_filter_severity,
@@ -1757,6 +1806,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ordered context assembly + sweep-line concurrency census
     "w9_session_path": q_w9_session_path,
     "w10_concurrency": q_w10_concurrency,
+    # Z-order layout census + MERGE INTO upsert (table-layout family)
+    "zo1_zorder_stats": q_zo1_zorder_stats,
+    "u4_merge_upsert": q_u4_merge_upsert,
 }
 
 
@@ -2667,5 +2719,45 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT k AS user_id, CAST(max(live) AS BIGINT) AS peak
         FROM r GROUP BY k
+    """,
+    "zo1_zorder_stats": """
+        WITH e AS (
+          SELECT user_id AS x0,
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS y0
+          FROM events
+        ),
+        m AS (SELECT x0, y0, x0 & 65535 AS x, y0 & 65535 AS y FROM e),
+        s1 AS (SELECT x0, y0, (x | (x << 8)) & 16711935 AS x,
+                      (y | (y << 8)) & 16711935 AS y FROM m),
+        s2 AS (SELECT x0, y0, (x | (x << 4)) & 252645135 AS x,
+                      (y | (y << 4)) & 252645135 AS y FROM s1),
+        s3 AS (SELECT x0, y0, (x | (x << 2)) & 858993459 AS x,
+                      (y | (y << 2)) & 858993459 AS y FROM s2),
+        s4 AS (SELECT x0, y0, (x | (x << 1)) & 1431655765 AS x,
+                      (y | (y << 1)) & 1431655765 AS y FROM s3),
+        z AS (SELECT x0, y0, (x | (y << 1)) >> 6 AS z_bucket FROM s4)
+        SELECT z_bucket, count(*) AS n_rows,
+               min(x0) AS x_min, max(x0) AS x_max,
+               CAST(min(y0) AS BIGINT) AS y_min,
+               CAST(max(y0) AS BIGINT) AS y_max
+        FROM z GROUP BY 1
+    """,
+    "u4_merge_upsert": """
+        WITH base AS (
+          SELECT event_id, ts, user_id, event_type, value FROM events
+        ),
+        chg AS (
+          SELECT event_id, ts, user_id,
+                 'corrected' AS event_type, value + 100 AS value
+          FROM base WHERE event_id % 7 = 0
+          UNION ALL
+          SELECT event_id + 10000000, ts, user_id, 'backfill', value
+          FROM base WHERE event_id % 997 = 0
+        )
+        SELECT * FROM base
+        WHERE event_id NOT IN (SELECT event_id FROM chg)
+        UNION ALL
+        SELECT * FROM chg
     """,
 }
