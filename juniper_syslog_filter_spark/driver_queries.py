@@ -1042,6 +1042,35 @@ def q_ct1_contamination(spark, sf_dir):
     return contaminated_docs(corpus, bench, "doc_id", "text", n=4)
 
 
+def q_ct2_split_leakage(spark, sf_dir):
+    """Cross-split leakage audit: near-duplicate pairs (the d2
+    MinHash-LSH verified set) that straddle the train/val/test hash
+    split. The split is a pure FUNCTION of doc_id
+    (operators/sampling.split_expr), so both sides' assignments are
+    computed map-side ON THE PAIR SET — zero joins back to the corpus;
+    at 100 TB the audit costs one pass over the (tiny) pair table on
+    top of the dedup run the pipeline already does. ``is_leak`` rows
+    are what a data card must report: an eval doc whose near-twin sits
+    in train inflates benchmark scores."""
+    from .operators.sampling import split_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, "doc_id", "text", threshold=0.5, n_bands=8, rows_per_band=2, k=8
+    )
+    sa = split_expr(F.col("id_a"))
+    sb = split_expr(F.col("id_b"))
+    return (
+        pairs.select(
+            F.least(sa, sb).alias("split_lo"),
+            F.greatest(sa, sb).alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_lo") != F.col("split_hi"))
+    )
+
+
 def q_fl1_quality_filter(spark, sf_dir):
     """C4/Gopher-style quality-filter cascade
     (functions/text.quality_rule_expr): label every doc with the first
@@ -1764,6 +1793,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j5_region_volume": q_j5_region_volume,
     "sp1_train_split": q_sp1_train_split,
     "ct1_contamination": q_ct1_contamination,
+    "ct2_split_leakage": q_ct2_split_leakage,
     "fl1_quality_filter": q_fl1_quality_filter,
     # rows-only (no SQL oracle — stateful streaming; see its docstring)
     "st1_sessionize_stream": q_st1_sessionize_stream,
@@ -1859,6 +1889,15 @@ _LSH_CAND_CTE = f"""
                     AND a.doc_id < b.doc_id
     )
 """
+
+def _split_case_sql(col: str) -> str:
+    """DuckDB twin of operators/sampling.split_expr (defaults)."""
+    h = f"substr(md5(CAST({col} AS VARCHAR) || ':split:42'), 1, 2)"
+    return (
+        f"CASE WHEN {h} < '0d' THEN 'test' "
+        f"WHEN {h} < '1a' THEN 'val' ELSE 'train' END"
+    )
+
 
 ORACLE_SQL: dict[str, str] = {
     "p1_filter_keyword": """
@@ -2352,6 +2391,23 @@ ORACLE_SQL: dict[str, str] = {
         FROM g JOIN bench b ON g.gram = b.gram
         WHERE g.doc_id % 97 <> 0
         GROUP BY 1
+    """,
+    "ct2_split_leakage": f"""
+        {_LSH_CAND_CTE}
+        , verified AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b
+          WHERE round({D.jaccard_sql('sa.sh', 'sb.sh')}, 6) >= 0.5
+        )
+        SELECT least({_split_case_sql('id_a')}, {_split_case_sql('id_b')}) AS split_lo,
+               greatest({_split_case_sql('id_a')}, {_split_case_sql('id_b')}) AS split_hi,
+               count(*) AS n_pairs,
+               least({_split_case_sql('id_a')}, {_split_case_sql('id_b')})
+                 <> greatest({_split_case_sql('id_a')}, {_split_case_sql('id_b')}) AS is_leak
+        FROM verified
+        GROUP BY 1, 2
     """,
     "fl1_quality_filter": f"""
         SELECT {T.quality_rule_sql('text', 'n_chars')} AS rule,

@@ -65,6 +65,33 @@ def group_quota(
     )
 
 
+def split_expr(
+    id_col,
+    salt: str = "split:42",
+    test_hex: str = "0d",
+    val_hex: str = "1a",
+):
+    """The split assignment as a pure Column expression — split is a
+    FUNCTION of the id, so any dataframe carrying an id (a pair set, a
+    shard manifest) can compute it map-side with no join back to the
+    corpus. ``train_val_split`` is the corpus-annotation convenience
+    wrapper over this."""
+    bucket = F.substring(
+        F.md5(
+            F.concat(id_col.cast("string"), F.lit(":" + salt)).cast(
+                "binary"
+            )
+        ),
+        1,
+        2,
+    )
+    return (
+        F.when(bucket < test_hex, "test")
+        .when(bucket < val_hex, "val")
+        .otherwise("train")
+    )
+
+
 def train_val_split(
     df: DataFrame,
     id_col: str,
@@ -85,20 +112,8 @@ def train_val_split(
     fractions tunable per two-hex-digit step.
 
     Adds a ``split`` string column; never drops rows."""
-    bucket = F.substring(
-        F.md5(
-            F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)).cast(
-                "binary"
-            )
-        ),
-        1,
-        2,
-    )
     return df.withColumn(
-        "split",
-        F.when(bucket < test_hex, "test")
-        .when(bucket < val_hex, "val")
-        .otherwise("train"),
+        "split", split_expr(F.col(id_col), salt, test_hex, val_hex)
     )
 
 
