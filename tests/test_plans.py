@@ -113,6 +113,17 @@ def test_train_split_is_narrow_projection(spark):
     assert "Join" not in plan
 
 
+def test_split_leakage_no_corpus_rejoin(spark):
+    """ct2 computes both sides' split assignments map-side on the pair
+    set: the only joins in the plan are the dedup machinery's own
+    (bucket self-join + two signature lookups) — adding the audit must
+    NOT introduce a 4th join back to documents."""
+    pairs_plan = _plan(QUERIES["d2_minhash_lsh"](spark, SF))
+    audit_plan = _plan(QUERIES["ct2_split_leakage"](spark, SF))
+    n_joins = lambda p: sum(p.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins(audit_plan) == n_joins(pairs_plan)
+
+
 def test_pii_redact_is_map_only(spark):
     """t9's redaction chain must be a narrow codegen'd JVM projection:
     no key shuffle, no join, zero Python. The only allowed Exchange is
