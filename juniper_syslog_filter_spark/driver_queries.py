@@ -30,7 +30,7 @@ from .functions import text as T
 from .functions import pii as PII
 from .functions.ip import classify_ip_expr
 from .operators import dedup as D
-from .operators.graph import dup_clusters
+from .operators.graph import dup_clusters, pagerank_step
 from .operators import similarity as S
 from .operators.rangejoin import prior_window_count
 from .operators.sampling import group_quota
@@ -1367,6 +1367,81 @@ def _docs_with_url(spark, sf_dir):
     return d.withColumn("url", url)
 
 
+# Shared anchor-snippet definition (SQL twin of _docs_with_links): two
+# <a href> outlinks per page whose target hosts are affine functions of
+# doc_id (coprime multipliers → every host pair occurs), with mixed
+# host case so extraction must normalize. 3*id+1 and 5*id+2 mod 13 keep
+# the 13-host graph strongly connected and free of fixed patterns.
+_ANCHORS_SQL = """
+    '<p>Read <a href="https://'
+        || CASE WHEN doc_id % 3 = 0 THEN 'News' ELSE 'news' END
+        || ((doc_id * 3 + 1) % 13)::VARCHAR || '.Example.com/l/'
+        || (doc_id % 7)::VARCHAR
+        || '">next</a> and <a href="https://news'
+        || ((doc_id * 5 + 2) % 13)::VARCHAR || '.example.com/l/'
+        || (doc_id % 11)::VARCHAR || '">more</a>.</p>'
+"""
+
+
+def _docs_with_links(spark, sf_dir):
+    """documents + url + the deterministic anchor-HTML column
+    (:data:`_ANCHORS_SQL` twin)."""
+    d = _docs_with_url(spark, sf_dir)
+    anchors = F.concat(
+        F.lit('<p>Read <a href="https://'),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("News")).otherwise(F.lit("news")),
+        ((F.col("doc_id") * 3 + 1) % 13).cast("string"),
+        F.lit(".Example.com/l/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('">next</a> and <a href="https://news'),
+        ((F.col("doc_id") * 5 + 2) % 13).cast("string"),
+        F.lit(".example.com/l/"),
+        (F.col("doc_id") % 11).cast("string"),
+        F.lit('">more</a>.</p>'),
+    )
+    return d.withColumn("anchors", anchors)
+
+
+def q_lg1_link_extract(spark, sf_dir):
+    """Outlink extraction + host-level edge census — the step that
+    builds the web graph out of crawled pages: ``regexp_extract_all``
+    pulls every ``href`` from the page HTML (JVM regex, whole-stage
+    codegen — the extraction itself never touches Python), explode,
+    normalize both endpoint hosts, then ONE partial+final aggregate on
+    the (src_host, dst_host) edge key. At 100 TB this is a map-only
+    pass over the crawl plus a single edge-keyed shuffle whose output
+    (the host graph) is corpus-dwarfed."""
+    d = _docs_with_links(spark, sf_dir)
+    e = d.select(
+        F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col("anchors"), F.lit(r'href="([^"]+)"'), F.lit(1)
+            )
+        ).alias("href"),
+    )
+    return (
+        e.select(
+            "src_host",
+            F.lower(F.parse_url(F.col("href"), F.lit("HOST"))).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def q_gr1_pagerank_step(spark, sf_dir):
+    """One PageRank power iteration over the lg1 host graph
+    (operators/graph.pagerank_step): weighted out-degree, co-shuffled
+    contribution join, in-sum, teleport term via a broadcast 1-row N —
+    no driver-side vector, no collect. Host authority is the standard
+    crawl-prioritization / quality-weighting signal."""
+    edges = q_lg1_link_extract(spark, sf_dir)
+    return pagerank_step(
+        edges, "src_host", "dst_host", weight="n_links"
+    ).withColumnRenamed("rank", "pagerank")
+
+
 def q_h1_host_stats(spark, sf_dir):
     """Per-host census over Common-Crawl-style URLs: JVM ``parse_url``
     host extraction (no Python, stays in whole-stage codegen),
@@ -1816,6 +1891,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # URL family: parse_url host census + normalization dedup
     "h1_host_stats": q_h1_host_stats,
     "d8_url_dedup": q_d8_url_dedup,
+    # web-graph: href extraction -> host edge census -> PageRank step
+    "lg1_link_extract": q_lg1_link_extract,
+    "gr1_pagerank_step": q_gr1_pagerank_step,
     # keep-latest-per-key compaction (current-state / upsert semantics)
     "u2_latest_state": q_u2_latest_state,
     # ordered conversion funnel + retention cohorts (telemetry analytics)
@@ -2588,6 +2666,46 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT norm_url, count(*) AS n_dupes, min(doc_id) AS keeper_doc
         FROM n GROUP BY 1 HAVING count(*) > 1
+    """,
+    "lg1_link_extract": f"""
+        WITH a AS (
+          SELECT {_URL_SQL} AS url, {_ANCHORS_SQL} AS anchors FROM documents
+        ),
+        e AS (
+          SELECT lower(split_part(split_part(url, '//', 2), '/', 1)) AS src_host,
+                 lower(split_part(split_part(
+                   unnest(regexp_extract_all(anchors, 'href="([^"]+)"', 1)),
+                   '//', 2), '/', 1)) AS dst_host
+          FROM a
+        )
+        SELECT src_host, dst_host, count(*) AS n_links
+        FROM e GROUP BY 1, 2
+    """,
+    "gr1_pagerank_step": f"""
+        WITH a AS (
+          SELECT {_URL_SQL} AS url, {_ANCHORS_SQL} AS anchors FROM documents
+        ),
+        e AS (
+          SELECT lower(split_part(split_part(url, '//', 2), '/', 1)) AS src_host,
+                 lower(split_part(split_part(
+                   unnest(regexp_extract_all(anchors, 'href="([^"]+)"', 1)),
+                   '//', 2), '/', 1)) AS dst_host
+          FROM a
+        ),
+        edges AS (
+          SELECT src_host AS src, dst_host AS dst, CAST(count(*) AS DOUBLE) AS w
+          FROM e GROUP BY 1, 2
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
+        contrib AS (
+          SELECT dst, sum(w / outw) AS cin
+          FROM edges JOIN outw USING (src) GROUP BY 1
+        )
+        SELECT node,
+               round(0.15 / nn.n + 0.85 / nn.n * coalesce(c.cin, 0), 9) AS pagerank
+        FROM nodes CROSS JOIN nn LEFT JOIN contrib c ON c.dst = nodes.node
     """,
     "u2_latest_state": """
         WITH r AS (

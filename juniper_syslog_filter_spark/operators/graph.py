@@ -154,3 +154,60 @@ def dup_clusters(
         "cluster_id",
         (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+def pagerank_step(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+) -> DataFrame:
+    """One PageRank power iteration from the uniform start vector —
+    the step a full solver repeats to fixpoint (host-level authority
+    scoring for crawl prioritization / quality weighting).
+
+    ``rank(v) = (1-d)/N + (d/N) * Σ_{u→v} w(u,v) / outw(u)`` over the
+    (optionally weighted) edge multiset; with r₀ = 1/N the in-sum
+    factors out as 1/N exactly, so the step is a pure dataflow with no
+    driver-side vector.
+
+    Scale design (the 100-TB lens): the node census is one
+    distinct-union shuffle; weighted out-degree is a partial aggregate
+    (map-side combine) on ``src``; the contribution join co-shuffles
+    edges and out-degrees on the SAME src key (no extra exchange for
+    the join's right side — Spark reuses the aggregation's
+    partitioning, and at web scale a host-keyed edge layout makes it
+    map-side); the in-sum is one partial aggregate on ``dst``; the
+    final left join back to nodes keeps sink-only nodes (they still
+    earn the teleport term). N enters via a broadcast 1-row aggregate,
+    never a ``collect``. Iterating = re-running with ranks joined in
+    place of the uniform term plus per-round ``localCheckpoint``
+    lineage truncation, exactly as :func:`connected_components` does.
+    """
+    w = (F.col(weight).cast("double") if weight else F.lit(1.0)).alias("w")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    contrib = (
+        e.join(outw, "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("w") / F.col("outw")).alias("cin"))
+    )
+    return (
+        nodes.crossJoin(F.broadcast(n_df))
+        .join(contrib, nodes["node"] == contrib["dst"], "left")
+        .select(
+            "node",
+            F.round(
+                (1.0 - damping) / F.col("n")
+                + damping / F.col("n") * F.coalesce(F.col("cin"), F.lit(0.0)),
+                9,
+            ).alias("rank"),
+        )
+    )

@@ -65,3 +65,46 @@ def test_cluster_ids_are_component_minima(spark, sf_dir):
         assert lab[a] == lab[b]
     assert all(lab[c] == c for c in set(lab.values()))
     assert all(c <= n for n, c in lab.items())
+
+
+def test_pagerank_step_matches_dense_computation(spark):
+    """One power iteration on a small weighted digraph must equal the
+    dense numpy computation: r1 = (1-d)/N + (d/N) * P^T · 1 where
+    P(u,v) = w(u,v)/outw(u)."""
+    from juniper_syslog_filter_spark.operators.graph import pagerank_step
+
+    edges = [
+        ("a", "b", 2),
+        ("a", "c", 1),
+        ("b", "c", 1),
+        ("c", "a", 1),
+        ("c", "d", 3),  # d is a sink: in-links only, still gets teleport
+    ]
+    df = spark.createDataFrame(edges, "src: string, dst: string, w: long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_step(df, "src", "dst", weight="w").collect()
+    }
+    n, d = 4.0, 0.85
+    expect = {
+        "a": (1 - d) / n + d / n * (1 / 4),
+        "b": (1 - d) / n + d / n * (2 / 3),
+        "c": (1 - d) / n + d / n * (1 / 3 + 1),
+        "d": (1 - d) / n + d / n * (3 / 4),
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-9, (k, got[k], expect[k])
+    # d never links out, so its share of the start vector leaks (no
+    # dangling redistribution in a single step): total = 1 - d·(1/N)
+    assert abs(sum(got.values()) - (1.0 - d / n)) < 1e-6
+
+
+def test_pagerank_step_unweighted_default(spark):
+    """weight=None treats every edge as weight 1 — a 2-cycle is the
+    symmetric fixpoint: both nodes keep rank 1/2."""
+    from juniper_syslog_filter_spark.operators.graph import pagerank_step
+
+    df = spark.createDataFrame([("x", "y"), ("y", "x")], "src: string, dst: string")
+    got = {r["node"]: r["rank"] for r in pagerank_step(df).collect()}
+    assert abs(got["x"] - 0.5) < 1e-9 and abs(got["y"] - 0.5) < 1e-9
