@@ -30,7 +30,7 @@ from .functions import text as T
 from .functions import pii as PII
 from .functions.ip import classify_ip_expr
 from .operators import dedup as D
-from .operators.graph import dup_clusters, pagerank_step
+from .operators.graph import dup_clusters, pagerank, pagerank_step
 from .operators import similarity as S
 from .operators.rangejoin import prior_window_count
 from .operators.sampling import group_quota
@@ -1442,6 +1442,158 @@ def q_gr1_pagerank_step(spark, sf_dir):
     ).withColumnRenamed("rank", "pagerank")
 
 
+_PR_ITERS = 5
+
+
+def q_gr2_pagerank(spark, sf_dir):
+    """Full iterative PageRank (operators/graph.pagerank, 5 power
+    iterations) over the lg1 host graph — the converging solver whose
+    single round gr1 isolates. The transition matrix is built once,
+    checkpointed, and pre-partitioned on src; every iteration is one
+    co-partitioned join + one partial aggregate + a per-round
+    ``localCheckpoint`` lineage truncation. The oracle is the same
+    recurrence unrolled into 5 CTE layers, so the match is value-exact
+    (to the shared round-9 output quantization), not rows-only —
+    iterative dataflow is still oracle-checkable when the iteration
+    count is pinned."""
+    edges = q_lg1_link_extract(spark, sf_dir)
+    r = pagerank(edges, "src_host", "dst_host", weight="n_links", iters=_PR_ITERS)
+    return r.select("node", F.round("rank", 9).alias("pagerank"))
+
+
+def _pagerank_oracle_sql(iters: int, damping: float = 0.85) -> str:
+    """Unrolled-CTE DuckDB twin of operators/graph.pagerank over the
+    lg1 host graph: r_{t+1}(v) = (1-d)/N + d·Σ P(u,v)·r_t(u). The
+    teleport constant is emitted as the exact repr of the Python double
+    ``1.0 - damping`` so both engines fold the identical IEEE value."""
+    one_minus_d = repr(1.0 - damping)
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f"""
+        r{t} AS (
+          SELECT node,
+                 CAST({one_minus_d} AS DOUBLE) / nn.n
+                   + {damping} * coalesce(c.cin, 0) AS rank
+          FROM nodes CROSS JOIN nn
+          LEFT JOIN (
+            SELECT dst, sum(p * rank) AS cin
+            FROM pe JOIN r{t - 1} ON r{t - 1}.node = pe.src GROUP BY 1
+          ) c ON c.dst = nodes.node
+        )""")
+    return f"""
+        WITH a AS (
+          SELECT {_URL_SQL} AS url, {_ANCHORS_SQL} AS anchors FROM documents
+        ),
+        e AS (
+          SELECT lower(split_part(split_part(url, '//', 2), '/', 1)) AS src_host,
+                 lower(split_part(split_part(
+                   unnest(regexp_extract_all(anchors, 'href="([^"]+)"', 1)),
+                   '//', 2), '/', 1)) AS dst_host
+          FROM a
+        ),
+        edges AS (
+          SELECT src_host AS src, dst_host AS dst, CAST(count(*) AS DOUBLE) AS w
+          FROM e GROUP BY 1, 2
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
+        pe AS (
+          SELECT src, dst, w / outw AS p FROM edges JOIN outw USING (src)
+        ),
+        r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+        {",".join(rounds)}
+        SELECT node, round(rank, 9) AS pagerank FROM r{iters}
+    """
+
+
+def q_fr1_frontier(spark, sf_dir):
+    """Crawl-frontier prioritization — the web-pipeline step that picks
+    what to fetch next. Each page emits its two /l/ outlinks plus an
+    article back-link; candidates are normalized (lowercased host,
+    trailing-slash strip), anti-joined against the crawled corpus's
+    normalized URL set (removing every already-fetched article — the
+    anti-join provably fires: all 325 (host, article) combos are
+    crawled at any sf), and the survivors are priority-tagged with
+    their target host's PageRank via a broadcast join (13 hosts — a
+    rank table is always corpus-dwarfed). One distinct shuffle for the
+    candidate set; the anti-join broadcasts whichever side is small
+    under AQE; no Python anywhere."""
+    d = _docs_with_links(spark, sf_dir)
+    backlink = F.concat(
+        F.lit("https://news"),
+        ((F.col("doc_id") * 7 + 3) % 13).cast("string"),
+        F.lit(".example.com/article/"),
+        (F.col("doc_id") % 25).cast("string"),
+    )
+    hrefs = d.select(
+        F.explode(
+            F.array_union(
+                F.regexp_extract_all(
+                    F.col("anchors"), F.lit(r'href="([^"]+)"'), F.lit(1)
+                ),
+                F.array(backlink),
+            )
+        ).alias("href")
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("href")), r"^https?://", ""), r"/$", ""
+    )
+    cand = hrefs.select(norm.alias("norm_url")).distinct()
+    crawled = _docs_with_url(spark, sf_dir).select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("url")), r"^https?://", ""),
+                r"[?#].*$",
+                "",
+            ),
+            r"/$",
+            "",
+        ).alias("norm_url")
+    )
+    frontier = cand.join(crawled, "norm_url", "left_anti")
+    ranks = q_gr1_pagerank_step(spark, sf_dir).withColumnRenamed("node", "host")
+    host = F.substring_index(F.col("norm_url"), "/", 1).alias("host")
+    return (
+        frontier.select("norm_url", host)
+        .join(F.broadcast(ranks), "host")
+        .select("norm_url", "host", "pagerank")
+    )
+
+
+def q_d11_edit_distance(spark, sf_dir):
+    """Edit-distance near-dup verify over the SimHash Hamming-ball
+    candidate set (the d5 blocker — near-identical docs are exactly
+    where character-level edit distance is the right verifier):
+    thresholded ``levenshtein`` on the 80-char prefixes of each
+    candidate pair, keeping pairs within distance 40. Sub-quadratic
+    like d4 (O(|candidates|) verify, never an all-pairs self-join);
+    the distance is the JVM built-in with the Spark-4 threshold arg —
+    a banded DP that early-exits past the bound (A/B at sf0.1:
+    14.9 s → 11.7 s on the 214k-pair minhash set before switching
+    blockers) — integer-exact on both engines, no float channel.
+    Prefix-bounding caps the per-pair DP at O(80·40) regardless of
+    document length, which is what keeps this affordable at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = D.simhash_hamming_pairs(
+        d, "doc_id", "text", bits=32, n_bands=4, max_bucket=1000
+    ).select("id_a", "id_b")
+    a = d.select(
+        F.col("doc_id").alias("id_a"), F.substring("text", 1, 80).alias("ta")
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), F.substring("text", 1, 80).alias("tb")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", F.levenshtein("ta", "tb", 40).alias("edit_dist")
+        )
+        .where((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 40))
+    )
+
+
 def q_h1_host_stats(spark, sf_dir):
     """Per-host census over Common-Crawl-style URLs: JVM ``parse_url``
     host extraction (no Python, stays in whole-stage codegen),
@@ -1894,6 +2046,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # web-graph: href extraction -> host edge census -> PageRank step
     "lg1_link_extract": q_lg1_link_extract,
     "gr1_pagerank_step": q_gr1_pagerank_step,
+    "gr2_pagerank": q_gr2_pagerank,
+    "fr1_frontier": q_fr1_frontier,
+    "d11_edit_distance": q_d11_edit_distance,
     # keep-latest-per-key compaction (current-state / upsert semantics)
     "u2_latest_state": q_u2_latest_state,
     # ordered conversion funnel + retention cohorts (telemetry analytics)
@@ -2706,6 +2861,93 @@ ORACLE_SQL: dict[str, str] = {
         SELECT node,
                round(0.15 / nn.n + 0.85 / nn.n * coalesce(c.cin, 0), 9) AS pagerank
         FROM nodes CROSS JOIN nn LEFT JOIN contrib c ON c.dst = nodes.node
+    """,
+    "gr2_pagerank": _pagerank_oracle_sql(_PR_ITERS),
+    "fr1_frontier": f"""
+        WITH a AS (
+          SELECT doc_id, {_URL_SQL} AS url, {_ANCHORS_SQL} AS anchors
+          FROM documents
+        ),
+        hrefs AS (
+          SELECT unnest(regexp_extract_all(anchors, 'href="([^"]+)"', 1)) AS href
+          FROM a
+          UNION ALL
+          SELECT 'https://news' || ((doc_id * 7 + 3) % 13)::VARCHAR
+                   || '.example.com/article/' || (doc_id % 25)::VARCHAR
+          FROM a
+        ),
+        cand AS (
+          SELECT DISTINCT regexp_replace(regexp_replace(
+                   lower(href), '^https?://', ''), '/$', '') AS norm_url
+          FROM hrefs
+        ),
+        crawled AS (
+          SELECT DISTINCT regexp_replace(regexp_replace(regexp_replace(
+                   lower(url), '^https?://', ''), '[?#].*$', ''), '/$', '')
+                 AS norm_url
+          FROM a
+        ),
+        frontier AS (
+          SELECT norm_url FROM cand
+          WHERE norm_url NOT IN (SELECT norm_url FROM crawled)
+        ),
+        e AS (
+          SELECT lower(split_part(split_part(url, '//', 2), '/', 1)) AS src_host,
+                 lower(split_part(split_part(
+                   unnest(regexp_extract_all(anchors, 'href="([^"]+)"', 1)),
+                   '//', 2), '/', 1)) AS dst_host
+          FROM a
+        ),
+        edges AS (
+          SELECT src_host AS src, dst_host AS dst, CAST(count(*) AS DOUBLE) AS w
+          FROM e GROUP BY 1, 2
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
+        contrib AS (
+          SELECT dst, sum(w / outw) AS cin
+          FROM edges JOIN outw USING (src) GROUP BY 1
+        ),
+        rankt AS (
+          SELECT node,
+                 round(0.15 / nn.n + 0.85 / nn.n * coalesce(c.cin, 0), 9)
+                   AS pagerank
+          FROM nodes CROSS JOIN nn LEFT JOIN contrib c ON c.dst = nodes.node
+        )
+        SELECT split_part(f.norm_url, '/', 1) AS host, f.norm_url, r.pagerank
+        FROM frontier f
+        JOIN rankt r ON r.node = split_part(f.norm_url, '/', 1)
+    """,
+    "d11_edit_distance": f"""
+        WITH sh AS (
+          SELECT doc_id, {D.simhash_sql('text', 32)} AS sh FROM documents
+        ),
+        bd AS (
+          SELECT doc_id, sh, i.band, (sh >> (8 * i.band)) & 255 AS bucket
+          FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) i
+        ),
+        ok AS (
+          SELECT band, bucket FROM bd GROUP BY 1, 2 HAVING count(*) <= 1000
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.sh AS sh_a, b.sh AS sh_b
+          FROM bd a
+          JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket
+          JOIN bd b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+        )
+        SELECT c.id_a, c.id_b,
+               levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80))
+                 AS edit_dist
+        FROM pairs c
+        JOIN documents a ON a.doc_id = c.id_a
+        JOIN documents b ON b.doc_id = c.id_b
+        WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 40
     """,
     "u2_latest_state": """
         WITH r AS (

@@ -211,3 +211,78 @@ def pagerank_step(
             ).alias("rank"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iters: int = 5,
+) -> DataFrame:
+    """Iterative PageRank to ``iters`` power iterations — the full
+    solver whose single round :func:`pagerank_step` isolates.
+
+    ``r_{t+1}(v) = (1-d)/N + d * Σ_{u→v} P(u,v) · r_t(u)`` with
+    ``P(u,v) = w(u,v)/outw(u)`` and ``r_0 = 1/N``. Dangling mass leaks
+    (no redistribution term), matching the step operator and the
+    unrolled-CTE oracle; add a dangling-sum broadcast per round if the
+    graph has heavy sinks and mass conservation matters.
+
+    Scale design (the 100-TB lens): the transition matrix
+    ``P = edges ⋈ outw`` is built ONCE, checkpointed, and
+    pre-partitioned on ``src`` — every round's rank join then reuses
+    that layout, so each iteration costs exactly one co-partitioned
+    join + one partial-aggregated ``groupBy(dst)`` + the broadcast of
+    the (node-sized, corpus-dwarfed) rank vector update. Ranks are
+    ``localCheckpoint``-ed per round: without truncation the plan
+    doubles per iteration (same rationale as
+    :func:`connected_components`). N enters via a broadcast 1-row
+    aggregate, never a ``collect``; the rank vector itself stays a
+    DataFrame end to end.
+    """
+    spark = edges.sparkSession
+    w = (F.col(weight).cast("double") if weight else F.lit(1.0)).alias("w")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w)
+    e = e.localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    # Transition rows P(u,v): built once, partitioned on src so each
+    # round's rank join shuffles only the (tiny) rank vector.
+    p = (
+        e.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("outw")).alias("p"))
+        .repartition("src")
+        .localCheckpoint()
+    )
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_df))
+        .select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        contrib = (
+            p.join(ranks, p["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("cin"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_df))
+            .join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("cin"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -108,3 +108,46 @@ def test_pagerank_step_unweighted_default(spark):
     df = spark.createDataFrame([("x", "y"), ("y", "x")], "src: string, dst: string")
     got = {r["node"]: r["rank"] for r in pagerank_step(df).collect()}
     assert abs(got["x"] - 0.5) < 1e-9 and abs(got["y"] - 0.5) < 1e-9
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Five iterations on a weighted digraph must track the dense
+    numpy recurrence r <- (1-d)/N + d * P^T r to float tolerance."""
+    import numpy as np
+    from juniper_syslog_filter_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+        ("c", "a", 1.0), ("c", "d", 3.0), ("d", "a", 1.0),
+        ("e", "a", 1.0),  # e has no in-links: pure teleport rank
+    ]
+    df = spark.createDataFrame(edges, "src: string, dst: string, w: double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, "src", "dst", weight="w", iters=5).collect()
+    }
+    names = ["a", "b", "c", "d", "e"]
+    P = np.zeros((5, 5))
+    for s, t, w in edges:
+        P[names.index(s), names.index(t)] = w
+    P = P / P.sum(axis=1, keepdims=True)
+    d, n = 0.85, 5.0
+    r = np.full(5, 1 / n)
+    for _ in range(5):
+        r = (1 - d) / n + d * (P.T @ r)
+    for i, name in enumerate(names):
+        assert abs(got[name] - r[i]) < 1e-12, (name, got[name], r[i])
+
+
+def test_pagerank_one_iter_equals_step(spark):
+    """iters=1 must agree with pagerank_step (the factored 1/N form)."""
+    from juniper_syslog_filter_spark.operators.graph import pagerank, pagerank_step
+
+    df = spark.createDataFrame(
+        [("x", "y", 1), ("y", "z", 2), ("z", "x", 1)],
+        "src: string, dst: string, w: long",
+    )
+    full = {r["node"]: r["rank"] for r in pagerank(df, weight="w", iters=1).collect()}
+    step = {r["node"]: r["rank"] for r in pagerank_step(df, weight="w").collect()}
+    for k in step:
+        assert abs(full[k] - step[k]) < 1e-9, (k, full[k], step[k])
