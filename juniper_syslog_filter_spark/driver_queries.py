@@ -30,6 +30,7 @@ from .functions import text as T
 from .functions import pii as PII
 from .functions.ip import classify_ip_expr
 from .operators import dedup as D
+from .operators import inference as INF
 from .operators.graph import dup_clusters, pagerank, pagerank_step
 from .operators import similarity as S
 from .operators.rangejoin import prior_window_count
@@ -1594,6 +1595,84 @@ def q_d11_edit_distance(spark, sf_dir):
     )
 
 
+def q_ml1_quality_classifier(spark, sf_dir):
+    """Model inference at scale (operators/inference.py): a
+    fastText-style hashed bag-of-words linear classifier scores every
+    document — the CCNet/GPT-3-style learned quality filter, the other
+    half of the rule-based fl1. Tokens feature-hash to 256 buckets via
+    ``substr(md5(tok),1,2)``; the 256-row weight vector rides a
+    **broadcast join** (the model moves, the corpus doesn't — the
+    100-TB inference pattern); one shuffle total (the per-doc partial
+    sum); sigmoid + rounded-score threshold gives the keep/drop label.
+    The weights are a deterministic seeded fixture so the oracle
+    restates them as a ``range(256)`` CTE."""
+    from .operators.inference import hashed_weights, score_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return score_documents(d, "doc_id", "text", hashed_weights(spark))
+
+
+def q_sh1_shard_assign(spark, sf_dir):
+    """Deterministic global corpus shuffle → trainer shard manifest
+    (operators/sampling.shard_assign): every doc gets a reproducible
+    pseudo-random ``(shard, pos)`` address — ``md5(id||salt)`` ordering,
+    8 shards, ``row_number`` position within shard. The one shuffle IS
+    the shard write's shuffle; ``rand()``/``repartition`` could promise
+    neither cross-run nor cross-engine stability."""
+    from .operators.sampling import shard_assign
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shard_assign(d, "doc_id", n_shards=8).select("doc_id", "shard", "pos")
+
+
+def q_mx1_mixture_upsample(spark, sf_dir):
+    """Fractional per-source mixture weighting
+    (operators/sampling.mixture_upsample): sources repeat ``base``
+    epochs (1-2, a deterministic fixture of the source string) plus one
+    extra copy for the hash-selected fraction of docs — the
+    LLaMA/Gopher data-recipe sampling proportions, implemented
+    exactly-reproducibly (expected copies = the fractional weight,
+    same extra copies every run/engine). Map-only: zero shuffle in the
+    upsample itself; the census here adds the one verification agg."""
+    from .operators.sampling import mixture_upsample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    up = mixture_upsample(d, "doc_id", "source")
+    return up.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+def q_wn1_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    SIGMOD'03 — the MOSS scheme): per doc, the distinct window minima
+    of char-8-gram rolling hashes (window 8) guarantee any shared
+    substring ≥ 15 chars shares a fingerprint at ~2/(w+1) density —
+    the principled passage-dup alternative to t5's single whole-doc
+    hash. Executes as one Arrow kernel pass (functions/text.py
+    ``winnow_fingerprints``; the HOF spec twin would Horner per shingle
+    interpreted — the d2 failure mode), map-only, zero shuffle; the
+    per-doc census (count/min/max/sum of fingerprints) pins the full
+    set value-exactly against the list-comprehension oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    # One column, then project: the kernel runs ONCE per row (four
+    # call sites would re-run the Arrow UDF per site).
+    withfps = d.select(
+        "doc_id", T.winnow_fingerprints(F.col("text")).alias("fps")
+    )
+    fps = F.col("fps")
+    return withfps.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fps"),
+        F.array_min(fps).alias("fp_min"),
+        F.array_max(fps).alias("fp_max"),
+        F.aggregate(
+            fps, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("fp_sum"),
+    )
+
+
 def q_h1_host_stats(spark, sf_dir):
     """Per-host census over Common-Crawl-style URLs: JVM ``parse_url``
     host extraction (no Python, stays in whole-stage codegen),
@@ -2049,6 +2128,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr2_pagerank": q_gr2_pagerank,
     "fr1_frontier": q_fr1_frontier,
     "d11_edit_distance": q_d11_edit_distance,
+    # training-data plumbing: classifier inference, shard shuffle,
+    # mixture upsampling, winnowing fingerprints
+    "ml1_quality_classifier": q_ml1_quality_classifier,
+    "sh1_shard_assign": q_sh1_shard_assign,
+    "mx1_mixture_upsample": q_mx1_mixture_upsample,
+    "wn1_winnowing": q_wn1_winnowing,
     # keep-latest-per-key compaction (current-state / upsert semantics)
     "u2_latest_state": q_u2_latest_state,
     # ordered conversion funnel + retention cohorts (telemetry analytics)
@@ -2948,6 +3033,76 @@ ORACLE_SQL: dict[str, str] = {
         JOIN documents a ON a.doc_id = c.id_a
         JOIN documents b ON b.doc_id = c.id_b
         WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 40
+    """,
+    "ml1_quality_classifier": f"""
+        WITH w AS ({INF.WEIGHTS_SQL}),
+        toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, substr(md5(tok), 1, 2) AS bucket
+          FROM toks WHERE tok <> ''
+        ),
+        s AS (
+          SELECT doc_id, round(1.0 / (1.0 + exp(-sum(w.w))), 6) AS score
+          FROM b JOIN w USING (bucket) GROUP BY 1
+        )
+        SELECT doc_id, score,
+               CASE WHEN score > 0.6 THEN 'keep' ELSE 'drop' END AS label
+        FROM s
+    """,
+    "sh1_shard_assign": """
+        WITH k AS (
+          SELECT doc_id, md5(doc_id::VARCHAR || ':shuffle:42') AS _key
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, _key,
+                 ((strpos('0123456789abcdef', substr(_key, 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(_key, 2, 1)) - 1)) % 8
+                   AS shard
+          FROM k
+        )
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY shard ORDER BY _key, doc_id)
+                 AS pos
+        FROM s
+    """,
+    "mx1_mixture_upsample": """
+        WITH p AS (
+          SELECT doc_id, source,
+                 (length(source)
+                  + ascii(substr(source, length(source), 1))) % 2 + 1
+                   AS base,
+                 (ascii(substr(source, length(source), 1)) * 37
+                  + length(source) * 11) % 256 AS frac,
+                 md5(doc_id::VARCHAR || ':mix:42') AS _key
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, source,
+                 base + CASE WHEN
+                   (strpos('0123456789abcdef', substr(_key, 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(_key, 2, 1)) - 1)
+                   < frac THEN 1 ELSE 0 END AS n_copies
+          FROM p
+        ),
+        up AS (
+          SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS epoch
+          FROM c
+        )
+        SELECT source, epoch, count(*) AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+        FROM up GROUP BY 1, 2
+    """,
+    "wn1_winnowing": f"""
+        WITH f AS (
+          {T.winnow_sql('documents', 'doc_id', 'text')}
+        )
+        SELECT doc_id, len(fps)::BIGINT AS n_fps,
+               list_min(fps) AS fp_min, list_max(fps) AS fp_max,
+               coalesce(list_sum(fps), 0)::BIGINT AS fp_sum
+        FROM f
     """,
     "u2_latest_state": """
         WITH r AS (

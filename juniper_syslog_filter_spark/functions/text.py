@@ -314,3 +314,135 @@ def repetition_exprs(col: Column) -> dict[str, Column]:
             n_bigrams > 0, F.round(1 - uniq_bigrams / n_bigrams, 6)
         ).otherwise(F.lit(0.0)),
     }
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03).
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(col: Column, k: int = 8, w: int = 8) -> Column:
+    """Winnowing fingerprint selection: the sorted-distinct set of
+    window minima over the char-``k``-gram rolling hashes of ``col``
+    (window width ``w``) — the MOSS document-fingerprint scheme that
+    guarantees any shared substring of length ≥ ``k + w - 1`` shares a
+    selected fingerprint, at ~``2/(w+1)`` selection density.
+
+    Arrow-batched pandas_udf execution of :func:`winnow_expr` (the
+    interpreted-HOF spec would md5/Horner per shingle per doc — the d2
+    failure mode). Vectorized per document: k-gram hashes in O(n) via a
+    scaled prefix-sum of ``c_j·31^(n-1-j) mod p`` rescaled by a modular
+    inverse power table (all < 2^62, exact in int64), window minima via
+    a stride-tricks sliding view, dedup+sort via ``np.unique``. Hash
+    values are IDENTICAL to the per-shingle Horner fold of
+    :func:`rolling_hash_expr` restricted to the shingle, so the twins
+    agree bit-for-bit. Docs with fewer than ``w`` shingles yield an
+    empty array (the expression twin's guard).
+
+    Scale: map-only (zero shuffle); downstream cross-doc joins on the
+    exploded fingerprints are the sub-quadratic passage-dup path.
+    """
+    inv_base = pow(_BASE, _MOD - 2, _MOD)
+
+    def fn(texts: pd.Series) -> pd.Series:
+        powers = np.ones(1, dtype=np.int64)  # 31^i mod p
+        invpow = np.ones(1, dtype=np.int64)  # 31^-i mod p
+
+        def grow(tab: np.ndarray, base: int, n: int) -> np.ndarray:
+            while len(tab) < n:
+                step = (int(tab[-1]) * base) % _MOD
+                tab = np.concatenate([tab, tab * step % _MOD])
+            return tab
+
+        out: list = []
+        for t in texts:
+            n = len(t) if t else 0
+            if n - k + 1 < w:  # fewer than w shingles
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            codes = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            powers = grow(powers, _BASE, n + 1)
+            invpow = grow(invpow, inv_base, n + 1)
+            # T_j = c_j * 31^(n-1-j); windowed sums of k terms, each
+            # < p ~ 2^30, so the raw int64 prefix sums are exact for
+            # any document under ~2^33 chars.
+            terms = codes * powers[n - 1 :: -1] % _MOD
+            pre = np.concatenate([[0], np.cumsum(terms)])
+            win = (pre[k:] - pre[: n - k + 1]) % _MOD
+            # h_i = win_i * 31^-(n-k-i): undo the global scale so each
+            # equals the shingle's own Horner fold.
+            h = win * invpow[n - k :: -1] % _MOD
+            mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+            out.append(np.unique(mins))
+        return pd.Series(out)
+
+    return F.pandas_udf(fn, "array<long>")(col)
+
+
+def winnow_expr(col: Column, k: int = 8, w: int = 8) -> Column:
+    """Pure-expression spec of :func:`winnow_fingerprints` (interpreted
+    HOFs — use the kernel for execution). Shingle ``i``'s hash is the
+    :func:`rolling_hash_expr` Horner fold over ``chars[i, i+k)``; the
+    fingerprints are ``array_sort(array_distinct(`` window minima``))``.
+    The ``m >= w`` guard matters: Spark's ``sequence(1, stop)`` counts
+    DOWN when ``stop < 1`` instead of returning an empty range."""
+    codes = F.transform(
+        F.filter(F.split(col, ""), lambda c: c != ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    n = F.size(codes)
+    hashes = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.aggregate(
+            F.slice(codes, i, k),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * _BASE + c) % _MOD,
+        ),
+    )
+    m = F.size(hashes)
+    mins = F.transform(
+        F.sequence(F.lit(1), m - w + 1),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    empty = F.array().cast("array<long>")
+    return F.when(
+        (n >= k) & (m >= w), F.array_sort(F.array_distinct(mins))
+    ).otherwise(empty)
+
+
+def winnow_sql(
+    table: str, id_expr: str, text_expr: str, k: int = 8, w: int = 8
+) -> str:
+    """DuckDB twin of :func:`winnow_expr` as a staged query: SELECTs
+    ``(doc_id, fps)`` from ``table``. Each level (char codes, shingle
+    hashes, window minima) materializes ONCE per row via CTE columns —
+    textually nesting the three levels into one expression re-evaluates
+    ``codes`` inside every hash lambda and ``hashes`` inside every
+    window lambda, O(m·n·k) interpreted per doc (measured >300 s for
+    500×300-char docs vs 0.4 s staged). ``range`` is empty for ``stop <
+    start``, so only the < ``w``-shingles case needs the CASE guard."""
+    return f"""
+    WITH _wn_codes AS (
+      SELECT {id_expr} AS doc_id,
+             list_transform(list_filter(string_split({text_expr}, ''),
+                                        c -> c <> ''),
+                            c -> ascii(c)::BIGINT) AS codes
+      FROM {table}
+    ),
+    _wn_hashes AS (
+      SELECT doc_id,
+             list_transform(range(1, len(codes) - {k} + 2),
+               i -> list_reduce(list_concat([0::BIGINT], codes[i:i+{k}-1]),
+                                (acc, c) -> (acc * {_BASE} + c) % {_MOD}))
+               AS hashes
+      FROM _wn_codes
+    )
+    SELECT doc_id,
+           CASE WHEN len(hashes) >= {w}
+                THEN list_sort(list_distinct(
+                       list_transform(range(1, len(hashes) - {w} + 2),
+                                      j -> list_min(hashes[j:j+{w}-1]))))
+                ELSE []::BIGINT[] END AS fps
+    FROM _wn_hashes
+    """

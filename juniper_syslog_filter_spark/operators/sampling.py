@@ -147,3 +147,121 @@ def token_budget_select(
     return df.withColumn(
         "cum_tokens", F.sum(F.col(token_col).cast("long")).over(w)
     ).filter(F.col("cum_tokens") <= budget)
+
+
+_HEX = "0123456789abcdef"
+
+
+def _hex2int(col, n_chars: int):
+    """First ``n_chars`` lowercase-hex chars of ``col`` as an integer
+    (0..16^n-1) using only ``instr``/``substr`` arithmetic, which DuckDB
+    restates verbatim with ``strpos`` — neither engine shares a native
+    hex→int with the other (Spark ``conv`` has no DuckDB twin)."""
+    acc = F.lit(0)
+    for i in range(1, n_chars + 1):
+        digit = F.instr(F.lit(_HEX), F.substring(col, i, 1)) - 1
+        acc = acc * 16 + digit
+    return acc
+
+
+def _hex2int_sql(expr: str, n_chars: int) -> str:
+    terms = [
+        f"(strpos('{_HEX}', substr({expr}, {i}, 1)) - 1) * {16 ** (n_chars - i)}"
+        for i in range(1, n_chars + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 8,
+    salt: str = "shuffle:42",
+) -> DataFrame:
+    """Deterministic global corpus shuffle + shard/position assignment —
+    how a 100-TB training corpus is written out for the trainer: every
+    document gets a reproducible ``(shard, pos)`` address, pseudo-random
+    with respect to every corpus attribute, identical across engines and
+    reruns (``rand()``/``repartition`` can promise neither).
+
+    ``key = md5(id || ':' || salt)``; ``shard = int(key[:2]) %
+    n_shards``; ``pos = row_number() over (partition by shard order by
+    key, id)``. One shuffle (the per-shard window — exactly the
+    shuffle a real shard write needs, since ``pos`` IS the row's offset
+    in its output file); md5 balances shards to ±O(√n). Restatable
+    verbatim in ANSI SQL. At 1000 executors: ``n_shards`` ≥ cluster
+    parallelism makes the sort per-shard-local; the window never sees
+    more than ~corpus/n_shards rows per reducer.
+    """
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)).cast("binary")
+    )
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return (
+        df.withColumn("_key", key)
+        .withColumn("shard", (_hex2int(F.col("_key"), 2) % n_shards).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_key")
+    )
+
+
+def shard_assign_sql(id_expr: str, n_shards: int = 8, salt: str = "shuffle:42") -> dict:
+    """DuckDB twins of the :func:`shard_assign` derived columns, keyed
+    ``key``/``shard`` (``pos`` is the same windowed ``row_number``)."""
+    key = f"md5({id_expr}::VARCHAR || ':{salt}')"
+    return {
+        "key": key,
+        "shard": f"{_hex2int_sql(key, 2)} % {n_shards}",
+    }
+
+
+def mixture_upsample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    salt: str = "mix:42",
+) -> DataFrame:
+    """Fractional per-source mixture weighting — the data-recipe step
+    that repeats high-quality sources more epochs than crawl bulk
+    (LLaMA/Gopher-style sampling proportions). A document from a source
+    with weight ``W = base + frac/256`` appears ``base`` times always,
+    plus once more iff its hash bucket < ``frac`` — so EXPECTED copies
+    = W while every run/engine picks the SAME extra copies.
+
+    Weights here are a deterministic fixture of the source string
+    (``base = (length + ascii(last_char)) % 2 + 1``, ``frac = (ascii
+    (last_char)*37 + length*11) % 256``); a real recipe broadcast-joins
+    a (source → weight) config table instead — the dataflow (broadcast
+    dim join → ``explode(sequence(1, n_copies))``) is identical. Map
+    side only, zero shuffle: output carries ``epoch`` (1-based copy
+    index) so downstream shard assignment can separate the copies.
+    """
+    src = F.col(source_col)
+    last = F.expr(f"substr({source_col}, length({source_col}), 1)")
+    base = (F.length(src) + F.ascii(last)) % 2 + 1
+    frac = (F.ascii(last) * 37 + F.length(src) * 11) % 256
+    bucket = _hex2int(
+        F.md5(
+            F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)).cast(
+                "binary"
+            )
+        ),
+        2,
+    )
+    n_copies = (base + (bucket < frac).cast("int")).cast("long")
+    return df.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(1).cast("long"), n_copies))
+    )
+
+
+def mixture_upsample_sql(
+    id_expr: str, source_expr: str, salt: str = "mix:42"
+) -> dict:
+    """DuckDB twins for :func:`mixture_upsample`'s derived scalars."""
+    last = f"substr({source_expr}, length({source_expr}), 1)"
+    bucket = _hex2int_sql(f"md5({id_expr}::VARCHAR || ':{salt}')", 2)
+    return {
+        "base": f"(length({source_expr}) + ascii({last})) % 2 + 1",
+        "frac": f"(ascii({last}) * 37 + length({source_expr}) * 11) % 256",
+        "bucket": bucket,
+    }

@@ -421,3 +421,96 @@ def test_token_budget_prefix_and_boundary(spark):
     # en: 40 (id1), 80 (id2); id3 would hit 110 > 100 -> excluded
     # de: exactly 100 kept (boundary inclusive); id5 at 101 excluded
     assert got == {("en", 1): 40, ("en", 2): 80, ("de", 4): 100}
+
+
+# ---------------------------------------------------------------------------
+# shard_assign / mixture_upsample / score_documents
+# ---------------------------------------------------------------------------
+
+
+def test_shard_assign_lossless_dense_and_deterministic(spark):
+    from juniper_syslog_filter_spark.operators.sampling import shard_assign
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = shard_assign(df, "doc_id", n_shards=4).collect()
+    b = shard_assign(df, "doc_id", n_shards=4).collect()
+    assert sorted(r.doc_id for r in a) == list(range(200))  # lossless
+    assert {(r.doc_id, r.shard, r.pos) for r in a} == {
+        (r.doc_id, r.shard, r.pos) for r in b
+    }  # reproducible
+    by_shard: dict = {}
+    for r in a:
+        assert 0 <= r.shard < 4
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard  # dense pos
+    # md5 ordering decorrelates from the id order: some inversion exists
+    order = [r.doc_id for r in sorted(a, key=lambda r: (r.shard, r.pos))]
+    assert order != sorted(order)
+
+
+def test_shard_assign_salt_changes_assignment(spark):
+    from juniper_syslog_filter_spark.operators.sampling import shard_assign
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = {r.doc_id: r.shard for r in shard_assign(df, "doc_id", 4).collect()}
+    b = {
+        r.doc_id: r.shard
+        for r in shard_assign(df, "doc_id", 4, salt="other").collect()
+    }
+    assert any(a[i] != b[i] for i in range(200))
+
+
+def test_mixture_upsample_expected_copies(spark):
+    import hashlib
+
+    from juniper_syslog_filter_spark.operators.sampling import mixture_upsample
+
+    rows = [(i, ["wiki", "crawl", "code"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_upsample(df, "doc_id", "source").collect()
+    copies: dict = {}
+    for r in out:
+        copies.setdefault((r.doc_id, r.source), []).append(r.epoch)
+
+    for doc_id, source in [(i, s) for i, s in rows]:
+        base = (len(source) + ord(source[-1])) % 2 + 1
+        frac = (ord(source[-1]) * 37 + len(source) * 11) % 256
+        bucket = int(
+            hashlib.md5(f"{doc_id}:mix:42".encode()).hexdigest()[:2], 16
+        )
+        want = base + (1 if bucket < frac else 0)
+        got = sorted(copies[(doc_id, source)])
+        assert got == list(range(1, want + 1)), (doc_id, source)
+
+
+def test_score_documents_hand_computed(spark):
+    import hashlib
+    import math
+
+    from juniper_syslog_filter_spark.operators.inference import (
+        hashed_weights,
+        score_documents,
+    )
+
+    docs = [
+        (1, "alpha beta beta"),   # repeated token counts twice (bag)
+        (2, "gamma"),
+        (3, "  alpha   "),        # empty split artifacts dropped
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.score, r.label)
+        for r in score_documents(df, "doc_id", "text", hashed_weights(spark)).collect()
+    }
+
+    def weight(tok):
+        i = int(hashlib.md5(tok.encode()).hexdigest()[:2], 16)
+        return ((i * 37 + 11) % 101) / 101 - 0.5
+
+    for doc_id, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        z = sum(weight(t) for t in toks)
+        score = round(1.0 / (1.0 + math.exp(-z)), 6)
+        assert out[doc_id][0] == score, doc_id
+        assert out[doc_id][1] == ("keep" if score > 0.6 else "drop"), doc_id

@@ -76,3 +76,45 @@ def test_bpe_token_count_matches_re(spark):
     got = {r.id: r.n for r in df.select("id", T.bpe_token_count(F.col("t")).alias("n")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == len(re.findall(r"\w+|[^\w\s]", t)), t
+
+
+def test_winnow_kernel_matches_expression_and_python(spark):
+    """winnow_fingerprints (Arrow kernel) ≡ winnow_expr (HOF spec) ≡ a
+    pure-python reference, over edge cases: empty, < k chars, exactly
+    w shingles, repeated text (minima dedup), ascii + long docs."""
+    k, w = 8, 8
+    texts = [
+        "", "short", "x" * (k + w - 2),          # 0 and w-1 shingles
+        "x" * (k + w - 1),                        # exactly w shingles
+        "the quick brown fox jumps over the lazy dog",
+        "abcabcabc" * 10,                         # heavy repetition
+        "a" * 200,                                # single distinct hash
+        "The SRX syslog line: RT_FLOW session created 10.0.0.1/22",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, t string"
+    )
+    out = {
+        r.id: (list(r.kern), list(r.spec))
+        for r in df.select(
+            "id",
+            T.winnow_fingerprints(F.col("t"), k, w).alias("kern"),
+            T.winnow_expr(F.col("t"), k, w).alias("spec"),
+        ).collect()
+    }
+
+    def py(t):
+        hs = []
+        for i in range(len(t) - k + 1):
+            h = 0
+            for c in t[i : i + k]:
+                h = (h * 31 + ord(c)) % 1_000_000_007
+            hs.append(h)
+        if len(hs) < w:
+            return []
+        mins = {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+        return sorted(mins)
+
+    for i, t in enumerate(texts):
+        assert out[i][0] == py(t), f"kernel vs python: {t!r}"
+        assert out[i][1] == py(t), f"expr vs python: {t!r}"
