@@ -1673,6 +1673,20 @@ def q_wn1_winnowing(spark, sf_dir):
     )
 
 
+def q_wn2_winnow_overlap(spark, sf_dir):
+    """Cross-doc passage overlap via shared winnowing fingerprints
+    (operators/dedup.winnow_overlap_pairs): pairs sharing ≥3 selected
+    fingerprints, with >20-doc fingerprints dropped as boilerplate
+    before the self-join (the MOSS scheme, distributed) — detects
+    shared passages d7's exact word tiling misses under 1-char edits.
+    One Arrow signature pass, then everything JVM-side partitioned on
+    ``fp``; Σ cap² bounds the join at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.winnow_overlap_pairs(
+        d, "doc_id", "text", max_docs_per_fp=20, min_shared=3
+    )
+
+
 def q_h1_host_stats(spark, sf_dir):
     """Per-host census over Common-Crawl-style URLs: JVM ``parse_url``
     host extraction (no Python, stays in whole-stage codegen),
@@ -2134,6 +2148,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sh1_shard_assign": q_sh1_shard_assign,
     "mx1_mixture_upsample": q_mx1_mixture_upsample,
     "wn1_winnowing": q_wn1_winnowing,
+    "wn2_winnow_overlap": q_wn2_winnow_overlap,
     # keep-latest-per-key compaction (current-state / upsert semantics)
     "u2_latest_state": q_u2_latest_state,
     # ordered conversion funnel + retention cohorts (telemetry analytics)
@@ -3103,6 +3118,21 @@ ORACLE_SQL: dict[str, str] = {
                list_min(fps) AS fp_min, list_max(fps) AS fp_max,
                coalesce(list_sum(fps), 0)::BIGINT AS fp_sum
         FROM f
+    """,
+    "wn2_winnow_overlap": f"""
+        WITH w AS (
+          {T.winnow_sql('documents', 'doc_id', 'text')}
+        ),
+        f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+        keep AS (
+          SELECT fp FROM f GROUP BY fp HAVING count(*) BETWEEN 2 AND 20
+        ),
+        g AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*)::BIGINT AS shared_fps
+        FROM g a JOIN g b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 3
     """,
     "u2_latest_state": """
         WITH r AS (

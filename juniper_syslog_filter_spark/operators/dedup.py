@@ -837,3 +837,58 @@ def incremental_lsh_candidates(
         )
     )
     return cross.unionAll(internal).distinct()
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 8,
+    max_docs_per_fp: int = 20,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Cross-doc passage-overlap pairs via shared winnowing fingerprints
+    (Schleimer/Wilkerson/Aiken SIGMOD'03): two docs pair when they share
+    ≥ ``min_shared`` selected fingerprints, so any verbatim passage of
+    ≥ ``k + w - 1`` chars is guaranteed to contribute at least one.
+    Complements the exact word-tile census (:func:`passage_dup_stats`,
+    d7) with substring-alignment-free approximate matching — the MOSS
+    dataflow, distributed.
+
+    Shape mirrors :func:`lsh_candidate_pairs`: per-doc signatures in one
+    Arrow pass (:func:`~..functions.text.winnow_fingerprints`), JVM-side
+    ``explode``, then fingerprint-frequency capping BEFORE the self-join
+    — fingerprints present in > ``max_docs_per_fp`` docs are boilerplate
+    (site chrome, license headers at web scale) and carry no pair
+    signal while contributing O(n²) join rows; dropping them bounds the
+    self-join at Σ min(freq, cap)² per fingerprint. Frequency < 2 rows
+    are dropped too (no pair). The fp → cap-filter → self-join chain
+    shuffles on ``fp`` throughout (one partitioning reused across the
+    count, filter-join, and pair-join); the final pair census is the
+    one remaining shuffle.
+    """
+    from ..functions.text import winnow_fingerprints
+
+    fps = df.select(
+        F.col(id_col),
+        F.explode(winnow_fingerprints(F.col(text_col), k, w)).alias("fp"),
+    )
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_docs_per_fp))
+        .select("fp")
+    )
+    g = fps.join(keep, "fp")
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

@@ -514,3 +514,43 @@ def test_score_documents_hand_computed(spark):
         score = round(1.0 / (1.0 + math.exp(-z)), 6)
         assert out[doc_id][0] == score, doc_id
         assert out[doc_id][1] == ("keep" if score > 0.6 else "drop"), doc_id
+
+
+def test_winnow_overlap_detects_shared_passage(spark):
+    from juniper_syslog_filter_spark.operators.dedup import winnow_overlap_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = [
+        (1, "unique alpha prelude 111 " + shared + " unique alpha coda"),
+        (2, "different beta opening 222 " + shared + " other beta ending"),
+        (3, "totally unrelated gamma content with no common passage 333"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r.id_a, r.id_b) for r in winnow_overlap_pairs(
+        df, "doc_id", "text", min_shared=1
+    ).collect()}
+    # guarantee: a shared substring of len >= k+w-1=15 shares >= 1
+    # fingerprint, so (1,2) must pair; 3 shares nothing that long.
+    assert (1, 2) in out
+    assert not any(3 in p for p in out)
+
+
+def test_winnow_overlap_cap_drops_boilerplate(spark):
+    from juniper_syslog_filter_spark.operators.dedup import winnow_overlap_pairs
+
+    # 30 docs, ALL sharing one boilerplate passage: uncapped, the
+    # interior boilerplate fingerprints form the full 30*29/2 clique;
+    # capped below the corpus size those fps are dropped and only the
+    # few coincidental boundary-window pairs remain (minima straddling
+    # the doc-specific prefix can legitimately match in small subsets).
+    boiler = "standard license header present on every single page"
+    docs = [(i, f"doc {i} body {i * 7919} " + boiler) for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = winnow_overlap_pairs(
+        df, "doc_id", "text", max_docs_per_fp=100, min_shared=1
+    ).collect()
+    capped = winnow_overlap_pairs(
+        df, "doc_id", "text", max_docs_per_fp=10, min_shared=1
+    ).collect()
+    assert len(uncapped) == 30 * 29 // 2  # the degenerate clique
+    assert len(capped) < len(uncapped) // 4  # cap breaks it
