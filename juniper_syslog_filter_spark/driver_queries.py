@@ -32,6 +32,7 @@ from .functions.ip import classify_ip_expr
 from .operators import dedup as D
 from .operators import inference as INF
 from .operators.graph import dup_clusters, pagerank, pagerank_step
+from .operators import index as IX
 from .operators import similarity as S
 from .operators.rangejoin import prior_window_count
 from .operators.sampling import group_quota
@@ -1687,6 +1688,41 @@ def q_wn2_winnow_overlap(spark, sf_dir):
     )
 
 
+def q_iv2_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (operators/index.bm25_scores) for a fixed
+    3-term query: per-term tf is a map-side ``size(filter(split))`` —
+    the corpus scans ONCE with zero shuffle; (N, avgdl, df) is one
+    single-row aggregate broadcast back; top-20 by (rounded score desc,
+    id) is TakeOrderedAndProject. The analytical twin of iv1's posting
+    build — the shape for relevance-labeling a corpus against a fixed
+    probe set."""
+    from .operators.index import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_scores(d, "doc_id", "text", _BM25_TERMS, top_k=20)
+
+
+_BM25_TERMS = ["vector", "stream", "merge"]
+
+
+def q_rp1_sign_projection(spark, sf_dir):
+    """Sign random projection of the embedding table to 16 dims
+    (operators/similarity.sign_projection_udf): ±1 matrix derived from
+    md5 parity (engine-portable, no RNG state), one fused numpy fold
+    per input dim so each output coordinate is IEEE-identical to
+    DuckDB's ``list_dot_product``. Map-only, zero shuffle — the
+    dimensionality-reduction pass that runs before ANN indexing at
+    corpus scale; the matrix ships as a seed string, not data."""
+    e = load_table(spark, sf_dir, "embeddings")
+    proj = S.sign_projection_udf(out_dim=16)
+    return e.select(
+        "vec_id",
+        F.transform(
+            proj(F.col("embedding")), lambda x: F.round(x, 6)
+        ).alias("proj"),
+    )
+
+
 def q_h1_host_stats(spark, sf_dir):
     """Per-host census over Common-Crawl-style URLs: JVM ``parse_url``
     host extraction (no Python, stays in whole-stage codegen),
@@ -2149,6 +2185,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mx1_mixture_upsample": q_mx1_mixture_upsample,
     "wn1_winnowing": q_wn1_winnowing,
     "wn2_winnow_overlap": q_wn2_winnow_overlap,
+    "iv2_bm25": q_iv2_bm25,
+    "rp1_sign_projection": q_rp1_sign_projection,
     # keep-latest-per-key compaction (current-state / upsert semantics)
     "u2_latest_state": q_u2_latest_state,
     # ordered conversion funnel + retention cohorts (telemetry analytics)
@@ -3118,6 +3156,16 @@ ORACLE_SQL: dict[str, str] = {
                list_min(fps) AS fp_min, list_max(fps) AS fp_max,
                coalesce(list_sum(fps), 0)::BIGINT AS fp_sum
         FROM f
+    """,
+    "iv2_bm25": f"""
+        SELECT _id AS doc_id, score FROM (
+          {IX.bm25_sql('documents', 'doc_id', 'text', _BM25_TERMS, top_k=20)}
+        )
+    """,
+    "rp1_sign_projection": f"""
+        SELECT vec_id,
+               {S.sign_projection_sql('embedding', out_dim=16)} AS proj
+        FROM embeddings
     """,
     "wn2_winnow_overlap": f"""
         WITH w AS (

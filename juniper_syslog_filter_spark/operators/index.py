@@ -104,3 +104,121 @@ def top_ngrams_per_group(
         .where(F.col("rk") <= k)
         .select(F.col("grp").alias(group_col), "gram", "n", "rk")
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 (Robertson/Walker Okapi) ranked retrieval for a fixed query
+    term set — the ranking half of the index family (iv1 builds the
+    postings; this scores against them analytically).
+
+    Scale shape: with the query terms known, per-doc ``tf_t`` is a
+    map-side ``size(filter(split(text)))`` per term — the corpus is
+    scanned ONCE with zero shuffle; the only aggregate is the
+    single-row global stats tuple (N, avgdl, df per term), which rides
+    back on a broadcast crossJoin. No (doc, term) explode, no posting
+    materialization — at 100 TB this is a scan + one tiny agg, and the
+    final ``TakeOrderedAndProject`` keeps top-k per partition before
+    the driver merge. (The iv1 posting-list route answers the same
+    query by seeking instead of scanning; this form is the one you use
+    when the query set is fixed and the corpus pass is already paid,
+    e.g. relevance-labeling a training corpus against a probe set.)
+
+    Determinism: all scoring inputs (tf, df, N, dl, avgdl) are
+    integer-exact in both engines (avg of ints = exact long sum /
+    count); the score is a fixed-order expression fold over the terms,
+    so cross-engine drift is bounded to the ``ln`` ulp and absorbed by
+    ``round(6)``. Ordering is (rounded score desc, id asc) — total, so
+    the top-k SET is engine-stable. Docs matching no term are dropped
+    (score 0 rows are not ranked).
+    """
+    toks = F.split(F.col(text_col), " ")
+
+    def _match(term):  # HOF lambdas must be unary — no default-arg capture
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(toks, _match(t))).cast("double").alias(f"_tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    base = df.select(
+        F.col(id_col), F.size(toks).cast("double").alias("_dl"), *tf_cols
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    norm = k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("_n") - F.col(f"_df_{i}") + 0.5) / (F.col(f"_df_{i}") + 0.5)
+            + 1.0
+        )
+        score = score + idf * F.col(f"_tf_{i}") * (k1 + 1) / (
+            F.col(f"_tf_{i}") + norm
+        )
+    out = scored.select(F.col(id_col), F.round(score, 6).alias("score"))
+    return (
+        out.where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+    )
+
+
+def bm25_sql(
+    table: str,
+    id_expr: str,
+    text_expr: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`bm25_scores` (same fixed-order fold)."""
+    tfs = [
+        f"len(list_filter(string_split({text_expr}, ' '), x -> x = '{t}'))"
+        f"::DOUBLE AS _tf_{i}"
+        for i, t in enumerate(terms)
+    ]
+    dfs = [
+        f"sum(CASE WHEN _tf_{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS _df_{i}"
+        for i in range(len(terms))
+    ]
+    parts = [
+        f"ln((_n - _df_{i} + 0.5) / (_df_{i} + 0.5) + 1.0)"
+        f" * _tf_{i} * {k1 + 1} / (_tf_{i} + {k1} * (1 - {b} + {b} * _dl / _avgdl))"
+        for i in range(len(terms))
+    ]
+    return f"""
+    WITH _bm_base AS (
+      SELECT {id_expr} AS _id,
+             len(string_split({text_expr}, ' '))::DOUBLE AS _dl,
+             {', '.join(tfs)}
+      FROM {table}
+    ),
+    _bm_stats AS (
+      SELECT count(*)::DOUBLE AS _n, avg(_dl) AS _avgdl, {', '.join(dfs)}
+      FROM _bm_base
+    ),
+    _bm_scored AS (
+      SELECT _id, round(0.0 + {' + '.join(parts)}, 6) AS score
+      FROM _bm_base, _bm_stats
+    )
+    SELECT _id, score FROM _bm_scored
+    WHERE score > 0 ORDER BY score DESC, _id LIMIT {top_k}
+    """

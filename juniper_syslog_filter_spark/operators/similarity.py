@@ -425,3 +425,65 @@ def semantic_dedup(
         assigned.join(dup_ids, id_col, "left")
         .select(id_col, "cell", F.col("_dup").isNull().alias("keep"))
     )
+
+
+def sign_projection_udf(out_dim: int = 16, seed: str = "rp:42"):
+    """Sign random projection (Achlioptas'01 / SimHash's real-valued
+    cousin): project ``in_dim`` embeddings to ``out_dim`` via a ±1
+    matrix derived from md5 — ``sign[j][d] = +1`` iff the first hex
+    char of ``md5('{seed}:{j}:{d}')`` is even. Deterministic and
+    engine-portable, so the DuckDB twin rebuilds the identical matrix
+    with ``list_transform(range(...))`` + the same md5 parity rule (no
+    RNG state to ship).
+
+    Vectorized per Arrow batch: one (batch × in_dim) @ (in_dim ×
+    out_dim) product, accumulated SEQUENTIALLY over the dimension axis
+    (one fused numpy op per input dim) so each output folds
+    left-to-right in IEEE double exactly like DuckDB's
+    ``list_dot_product`` — the same parity discipline as
+    :func:`cosine_pair_udf`. Map-only, zero shuffle: the projection
+    matrix is rebuilt per executor from the seed (bytes shipped: the
+    seed string, not the matrix).
+    """
+
+    def signs(in_dim: int) -> np.ndarray:
+        import hashlib
+
+        m = np.empty((in_dim, out_dim), dtype=np.float64)
+        for j in range(out_dim):
+            for d in range(in_dim):
+                h = hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()
+                m[d, j] = 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+        return m
+
+    cache: dict = {}
+
+    def fn(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype=object)
+        a = np.stack(emb.to_numpy()).astype(np.float64)  # (n, in_dim)
+        in_dim = a.shape[1]
+        if in_dim not in cache:
+            cache[in_dim] = signs(in_dim)
+        m = cache[in_dim]
+        out = np.zeros((a.shape[0], out_dim))
+        for d in range(in_dim):  # dimension-axis fold: IEEE == list_dot_product
+            out += a[:, d : d + 1] * m[d]
+        # no np.round here: numpy rounds half-to-even, Spark/DuckDB
+        # round() half-up — the caller rounds via F.transform(F.round).
+        return pd.Series(list(out))
+
+    return F.pandas_udf(fn, "array<double>")
+
+
+def sign_projection_sql(emb_expr: str, out_dim: int = 16, seed: str = "rp:42") -> str:
+    """DuckDB twin of :func:`sign_projection_udf`: the identical ±1
+    matrix from the md5 parity rule, one ``list_dot_product`` per
+    output dim."""
+    return (
+        f"list_transform(range(0, {out_dim}), j -> round(list_dot_product("
+        f"{emb_expr}::DOUBLE[], "
+        f"list_transform(range(0, len({emb_expr})), d -> CASE WHEN "
+        f"strpos('02468ace', substr(md5('{seed}:' || j || ':' || d), 1, 1)) > 0 "
+        f"THEN 1.0 ELSE -1.0 END)), 6))"
+    )

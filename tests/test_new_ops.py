@@ -554,3 +554,72 @@ def test_winnow_overlap_cap_drops_boilerplate(spark):
     ).collect()
     assert len(uncapped) == 30 * 29 // 2  # the degenerate clique
     assert len(capped) < len(uncapped) // 4  # cap breaks it
+
+
+def test_bm25_hand_computed(spark):
+    import math
+
+    from juniper_syslog_filter_spark.operators.index import bm25_scores
+
+    docs = [
+        (1, "cat dog cat"),        # tf(cat)=2, dl=3
+        (2, "dog dog dog dog"),    # no query term -> dropped
+        (3, "bird bird"),
+        (4, "cat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r.score for r in bm25_scores(
+        df, "doc_id", "text", ["cat"], top_k=10
+    ).collect()}
+
+    k1, b = 1.2, 0.75
+    n, avgdl = 4.0, (3 + 4 + 2 + 1) / 4.0
+    dfq = 2.0  # docs 1 and 4 contain 'cat'
+    idf = math.log((n - dfq + 0.5) / (dfq + 0.5) + 1.0)
+
+    def s(tf, dl):
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    assert out == {1: s(2, 3), 4: s(1, 1)}  # 2 and 3 score 0 -> dropped
+
+
+def test_bm25_topk_order_and_limit(spark):
+    from juniper_syslog_filter_spark.operators.index import bm25_scores
+
+    docs = [(i, "term " * (i + 1)) for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = bm25_scores(df, "doc_id", "text", ["term"], top_k=5).collect()
+    assert len(rows) == 5
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_sign_projection_matches_python(spark):
+    import hashlib
+
+    import numpy as np
+
+    from juniper_syslog_filter_spark.operators.similarity import (
+        sign_projection_udf,
+    )
+
+    rng = [[(i * 7 + d * 3) % 11 / 11.0 - 0.5 for d in range(8)] for i in range(5)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<double>"
+    )
+    proj = sign_projection_udf(out_dim=4)
+    got = {
+        r.vec_id: list(r.p)
+        for r in df.select("vec_id", proj(F.col("embedding")).alias("p")).collect()
+    }
+
+    def sign(j, d):
+        h = hashlib.md5(f"rp:42:{j}:{d}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+    for i, v in enumerate(rng):
+        want = [
+            float(np.sum([v[d] * sign(j, d) for d in range(8)]))
+            for j in range(4)
+        ]
+        assert got[i] == pytest.approx(want, abs=1e-12), i
