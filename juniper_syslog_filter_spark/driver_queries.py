@@ -34,6 +34,7 @@ from .operators import inference as INF
 from .operators.graph import dup_clusters, pagerank, pagerank_step
 from .operators import index as IX
 from .operators import similarity as S
+from .operators import sketch as SK
 from .operators.rangejoin import prior_window_count
 from .operators.sampling import group_quota
 from .operators.skewjoin import salted_join
@@ -1723,6 +1724,37 @@ def q_rp1_sign_projection(spark, sf_dir):
     )
 
 
+_CMS_PROBES = ["table", "vector", "stream", "the", "nosuchword"]
+
+
+def q_cm1_count_min(spark, sf_dir):
+    """Count-min sketch frequency estimation (operators/sketch.py):
+    build the 4×1024 sketch over the token stream (one shuffle that
+    map-side-combines to ≤ d·width keys — the reducer never sees the
+    vocabulary, unlike the exact census t7), then point-query five
+    probe terms and join the exact counts alongside. Engine-exact, not
+    just approximate: the md5-derived bucket rule restates verbatim in
+    SQL, so est values (including the ≥ exact one-sided overcounts)
+    hash-match. The absent probe term pins the coalesce(0) path."""
+    from .operators.sketch import cms_build, cms_estimate
+
+    d = load_table(spark, sf_dir, "documents")
+    sketch = cms_build(d, "text", depth=4, width=1024)
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "term string")
+    est = cms_estimate(sketch, probes, "term", depth=4, width=1024)
+    exact = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .where(F.col("term").isin(_CMS_PROBES))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return est.join(exact, "term", "left").select(
+        "term",
+        F.col("est").cast("long").alias("est"),
+        F.coalesce(F.col("exact"), F.lit(0)).cast("long").alias("exact"),
+    )
+
+
 def q_h1_host_stats(spark, sf_dir):
     """Per-host census over Common-Crawl-style URLs: JVM ``parse_url``
     host extraction (no Python, stays in whole-stage codegen),
@@ -2187,6 +2219,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wn2_winnow_overlap": q_wn2_winnow_overlap,
     "iv2_bm25": q_iv2_bm25,
     "rp1_sign_projection": q_rp1_sign_projection,
+    "cm1_count_min": q_cm1_count_min,
     # keep-latest-per-key compaction (current-state / upsert semantics)
     "u2_latest_state": q_u2_latest_state,
     # ordered conversion funnel + retention cohorts (telemetry analytics)
@@ -3166,6 +3199,9 @@ ORACLE_SQL: dict[str, str] = {
         SELECT vec_id,
                {S.sign_projection_sql('embedding', out_dim=16)} AS proj
         FROM embeddings
+    """,
+    "cm1_count_min": f"""
+        {SK.cms_sql('documents', 'text', _CMS_PROBES, depth=4, width=1024)}
     """,
     "wn2_winnow_overlap": f"""
         WITH w AS (

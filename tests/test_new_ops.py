@@ -623,3 +623,45 @@ def test_sign_projection_matches_python(spark):
             for j in range(4)
         ]
         assert got[i] == pytest.approx(want, abs=1e-12), i
+
+
+def test_count_min_overestimates_never_under(spark):
+    from juniper_syslog_filter_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana durian"),
+        (3, "apple elderberry"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sketch = cms_build(df, "text", depth=4, width=64)
+    probes = spark.createDataFrame(
+        [("apple",), ("banana",), ("durian",), ("missing",)], "term string"
+    )
+    est = {
+        r.term: r.est
+        for r in cms_estimate(sketch, probes, "term", depth=4, width=64).collect()
+    }
+    exact = {"apple": 3, "banana": 3, "durian": 1, "missing": 0}
+    for t, true in exact.items():
+        assert est[t] >= true, t          # one-sided error
+    # with 9 tokens in 4x64 cells, collisions are unlikely: exact hits
+    assert est["apple"] == 3 and est["missing"] == 0
+
+
+def test_count_min_sketch_size_bounded(spark):
+    from juniper_syslog_filter_spark.operators.sketch import cms_build
+
+    docs = [(i, f"w{i} w{i + 1} w{i * 2} common") for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sketch = cms_build(df, "text", depth=4, width=32)
+    assert sketch.count() <= 4 * 32      # never exceeds d x width rows
+    # total mass per row == total token count (the sketch conserves mass)
+    per_row = {
+        r.row: r.s
+        for r in sketch.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert set(per_row.values()) == {200 * 4}
