@@ -1755,6 +1755,19 @@ def q_cm1_count_min(spark, sf_dir):
     )
 
 
+def q_tk1_bpe_merge(spark, sf_dir):
+    """One BPE vocabulary-induction iteration (operators/index.py
+    bpe_merge_step): corpus-wide argmax bigram (one map-side-combined
+    shuffle, total-order tie-break) broadcasts as a 1-row literal; the
+    merge itself is a map-side space-padded replace — the corpus never
+    shuffles, so a tokenizer trainer's loop moves one string per
+    iteration. Output census: per-doc token counts before/after."""
+    from .operators.index import bpe_merge_step
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_merge_step(d, "doc_id", "text")
+
+
 def q_h1_host_stats(spark, sf_dir):
     """Per-host census over Common-Crawl-style URLs: JVM ``parse_url``
     host extraction (no Python, stays in whole-stage codegen),
@@ -2220,6 +2233,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iv2_bm25": q_iv2_bm25,
     "rp1_sign_projection": q_rp1_sign_projection,
     "cm1_count_min": q_cm1_count_min,
+    "tk1_bpe_merge": q_tk1_bpe_merge,
     # keep-latest-per-key compaction (current-state / upsert semantics)
     "u2_latest_state": q_u2_latest_state,
     # ordered conversion funnel + retention cohorts (telemetry analytics)
@@ -3202,6 +3216,9 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "cm1_count_min": f"""
         {SK.cms_sql('documents', 'text', _CMS_PROBES, depth=4, width=1024)}
+    """,
+    "tk1_bpe_merge": f"""
+        {IX.bpe_merge_sql('documents', 'doc_id', 'text')}
     """,
     "wn2_winnow_overlap": f"""
         WITH w AS (

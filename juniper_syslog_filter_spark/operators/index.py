@@ -222,3 +222,74 @@ def bm25_sql(
     SELECT _id, score FROM _bm_scored
     WHERE score > 0 ORDER BY score DESC, _id LIMIT {top_k}
     """
+
+
+def bpe_merge_step(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One BPE vocabulary-induction iteration (Sennrich et al. ACL'16,
+    at word granularity): find the corpus-wide most frequent adjacent
+    token pair, then merge its occurrences into a single token
+    (``"w1 w2"`` → ``"w1_w2"``) across every document. A tokenizer
+    trainer runs this loop to a target vocab size; one iteration is the
+    distributed primitive.
+
+    Dataflow: bigram census (ONE shuffle, map-side combined) → global
+    argmax pair (count desc, pair asc — total order) as a 1-row
+    broadcast → map-side literal ``replace`` over the corpus. The
+    corpus never shuffles; per iteration the moving data is one string.
+
+    Merge semantics: space-padded literal replace, left-to-right
+    non-overlapping — IDENTICAL in Spark and DuckDB, which is the
+    contract here. Note one divergence from paper-BPE: in a run like
+    ``a b a b`` the second occurrence shares its leading space with the
+    first match's consumed trailing space, so only the first merges per
+    scan (paper-BPE merges both). A trainer loops the step anyway, so
+    remaining occurrences merge on later iterations.
+
+    Returns per-doc ``(id, pair, n_before, n_after)`` — ``n_before -
+    n_after`` is the number of merges applied in the doc.
+    """
+    from ..functions.text import word_bigrams
+
+    counts = (
+        df.select(F.explode(word_bigrams(F.col(text_col))).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    best = counts.orderBy(F.desc("n"), F.asc("pair")).limit(1).select("pair")
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+    repl = F.concat(
+        F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("_")), F.lit(" ")
+    )
+    merged = F.trim(F.replace(padded, pat, repl))
+    return df.crossJoin(F.broadcast(best)).select(
+        F.col(id_col),
+        F.col("pair"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_before"),
+        F.size(F.split(merged, " ")).cast("long").alias("n_after"),
+    )
+
+
+def bpe_merge_sql(table: str, id_expr: str, text_expr: str) -> str:
+    """DuckDB twin of :func:`bpe_merge_step` (same argmax total order,
+    same space-padded left-to-right literal replace)."""
+    return f"""
+    WITH _bpe_grams AS (
+      SELECT unnest(list_transform(
+               range(1, len(string_split({text_expr}, ' '))),
+               i -> string_split({text_expr}, ' ')[i] || ' ' ||
+                    string_split({text_expr}, ' ')[i + 1])) AS pair
+      FROM {table}
+    ),
+    _bpe_best AS (
+      SELECT pair FROM _bpe_grams
+      GROUP BY pair ORDER BY count(*) DESC, pair LIMIT 1
+    )
+    SELECT {id_expr}, b.pair,
+           len(string_split({text_expr}, ' '))::BIGINT AS n_before,
+           len(string_split(trim(replace(' ' || {text_expr} || ' ',
+               ' ' || b.pair || ' ',
+               ' ' || replace(b.pair, ' ', '_') || ' ')), ' '))::BIGINT
+             AS n_after
+    FROM {table}, _bpe_best b
+    """

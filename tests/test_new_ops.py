@@ -665,3 +665,23 @@ def test_count_min_sketch_size_bounded(spark):
         for r in sketch.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
     }
     assert set(per_row.values()) == {200 * 4}
+
+
+def test_bpe_merge_step_hand_computed(spark):
+    from juniper_syslog_filter_spark.operators.index import bpe_merge_step
+
+    docs = [
+        (1, "new york is big"),          # 1 merge
+        (2, "new york new york"),        # adjacent run: 1 merge per scan
+        (3, "old york is new"),          # no "new york" -> 0 merges
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: (r.pair, r.n_before, r.n_after)
+           for r in bpe_merge_step(df, "doc_id", "text").collect()}
+    # "new york" occurs 3x (most frequent bigram); ties broken pair-asc
+    assert all(p == "new york" for p, _, _ in out.values())
+    assert out[1] == ("new york", 4, 3)
+    # documented greedy-left-to-right: the second adjacent occurrence
+    # shares the consumed space, so one merge this scan
+    assert out[2] == ("new york", 4, 3)
+    assert out[3] == ("new york", 4, 4)

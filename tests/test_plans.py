@@ -230,3 +230,49 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     plan = _plan(j)
     assert "dynamicpruning" in plan.lower(), "no DPP on partitioned scan"
     assert j.count() == 50
+
+
+def test_classifier_weights_are_broadcast(spark):
+    """ml1: the 256-row weight table must ride a BroadcastHashJoin (the
+    model moves, the corpus doesn't) — a SortMergeJoin here would
+    shuffle the exploded token stream against a 256-row dim."""
+    plan = _plan(QUERIES["ml1_quality_classifier"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_winnowing_is_map_only(spark):
+    """wn1: the fingerprint pass is one Arrow eval over the scan —
+    any Exchange means a shuffle crept into a per-doc map."""
+    plan = _plan(QUERIES["wn1_winnowing"](spark, SF))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_sign_projection_is_map_only(spark):
+    plan = _plan(QUERIES["rp1_sign_projection"](spark, SF))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_bm25_topk_is_take_ordered_zero_corpus_shuffle(spark):
+    """iv2: the only Exchange is the single-row stats reduction; the
+    corpus itself never shuffles, and the top-k is
+    TakeOrderedAndProject (per-partition k before the driver merge)."""
+    plan = _plan(QUERIES["iv2_bm25"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one shuffle Exchange: the stats single-row aggregate
+    import re
+
+    n_shuffles = len(re.findall(r"(?<!Broadcast)Exchange\b", plan))
+    assert n_shuffles <= 1, plan[:2000]
+
+
+def test_cms_sketch_is_broadcast_to_probes(spark):
+    """cm1: the sketch (<= d*width rows) joins the probe side via
+    broadcast; the token stream reduces through map-side combine
+    (partial HashAggregate below the Exchange)."""
+    plan = _plan(QUERIES["cm1_count_min"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
