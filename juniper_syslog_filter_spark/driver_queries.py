@@ -36,6 +36,7 @@ from .operators import index as IX
 from .operators import similarity as S
 from .operators import sketch as SK
 from .operators.rangejoin import prior_window_count
+from .operators import sampling as SAMP
 from .operators.sampling import group_quota
 from .operators.skewjoin import salted_join
 
@@ -1768,6 +1769,53 @@ def q_tk1_bpe_merge(spark, sf_dir):
     return bpe_merge_step(d, "doc_id", "text")
 
 
+def q_hl1_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (operators/sketch.py
+    hll_build/hll_estimate) over the classic crawl/telemetry distinct:
+    daily-active user-days. Exact countDistinct shuffles EVERY distinct
+    key; the sketch is ONE aggregate that map-side combines to <= 1024
+    registers per partition and merges across days/splits by per-register
+    max — the reducer sees O(m) rows at any corpus size. Engine-exact,
+    not approximately-equal: register/rho come from md5 string
+    arithmetic (no float log2) and the estimator evaluates ONE shared
+    SQL fragment in both engines, so est_hll, registers_hit and the
+    2^41-scaled integer register sum all hash-match; the exact count
+    rides along to show the ~1.04/sqrt(1024) error envelope."""
+    from .operators.sketch import hll_build, hll_estimate
+
+    e = load_table(spark, sf_dir, "events")
+    keys = e.select(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.col("ts").cast("date").cast("string"),
+        ).alias("v")
+    )
+    sk = hll_build(keys, "v", m=1024)
+    est = hll_estimate(sk, m=1024)
+    exact = keys.agg(F.countDistinct("v").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
+def q_sm2_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (operators/sampling.py
+    weighted_sample, Efraimidis-Spirakis A-ES): 100 documents drawn
+    proportionally to n_chars via the deterministic md5-uniform
+    ln(u)/w priority key. orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-k heaps, k rows per
+    partition gathered, the corpus itself never shuffles — the shape a
+    10^12-doc quality-weighted subsample needs. Engine-exact: the
+    DuckDB twin orders by the same IEEE expression with the same
+    literals, and the returned columns are the sampled rows themselves
+    (no float in the contract)."""
+    from .operators.sampling import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        d.select("doc_id", "lang", "n_chars"), "doc_id", "n_chars", 100
+    )
+
+
 def q_h1_host_stats(spark, sf_dir):
     """Per-host census over Common-Crawl-style URLs: JVM ``parse_url``
     host extraction (no Python, stays in whole-stage codegen),
@@ -2234,6 +2282,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rp1_sign_projection": q_rp1_sign_projection,
     "cm1_count_min": q_cm1_count_min,
     "tk1_bpe_merge": q_tk1_bpe_merge,
+    # mergeable distinct sketch + weighted corpus subsample
+    "hl1_hll_distinct": q_hl1_hll_distinct,
+    "sm2_weighted_sample": q_sm2_weighted_sample,
     # keep-latest-per-key compaction (current-state / upsert semantics)
     "u2_latest_state": q_u2_latest_state,
     # ordered conversion funnel + retention cohorts (telemetry analytics)
@@ -3219,6 +3270,24 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "tk1_bpe_merge": f"""
         {IX.bpe_merge_sql('documents', 'doc_id', 'text')}
+    """,
+    "hl1_hll_distinct": f"""
+        SELECT e.est_hll, e.registers_hit, e.sum_scaled, x.exact_distinct
+        FROM (
+          {SK.hll_sql("SELECT CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS v FROM events", m=1024)}
+        ) e,
+        (
+          SELECT count(DISTINCT CAST(user_id AS VARCHAR) || ':' ||
+                       CAST(CAST(ts AS DATE) AS VARCHAR))::BIGINT AS exact_distinct
+          FROM events
+        ) x
+    """,
+    "sm2_weighted_sample": f"""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY {SAMP.weighted_sample_sql('doc_id', 'n_chars')} DESC, doc_id
+        LIMIT 100
     """,
     "wn2_winnow_overlap": f"""
         WITH w AS (

@@ -156,8 +156,9 @@ def _hex2int(col, n_chars: int):
     """First ``n_chars`` lowercase-hex chars of ``col`` as an integer
     (0..16^n-1) using only ``instr``/``substr`` arithmetic, which DuckDB
     restates verbatim with ``strpos`` — neither engine shares a native
-    hex→int with the other (Spark ``conv`` has no DuckDB twin)."""
-    acc = F.lit(0)
+    hex→int with the other (Spark ``conv`` has no DuckDB twin). LONG
+    accumulator: 13-char keys (2^52) overflow int32 under ANSI mode."""
+    acc = F.lit(0).cast("long")
     for i in range(1, n_chars + 1):
         digit = F.instr(F.lit(_HEX), F.substring(col, i, 1)) - 1
         acc = acc * 16 + digit
@@ -265,3 +266,51 @@ def mixture_upsample_sql(
         "frac": f"(ascii({last}) * 37 + length({source_expr}) * 11) % 256",
         "bucket": bucket,
     }
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsamp:42",
+) -> DataFrame:
+    """Weighted random sampling without replacement (Efraimidis &
+    Spirakis '06 A-ES): each row draws a deterministic uniform ``u``
+    from ``md5(id || ':' || salt)`` and is ranked by ``ln(u) /
+    weight`` (the monotone log form of ``u^(1/w)``); the global top-k
+    by that key IS a weight-proportional sample, reproducible
+    run-to-run and engine-to-engine (no RNG state, unlike
+    ``df.sample``'s per-partition seeds which reshuffle under AQE).
+
+    Scale shape: ``orderBy(key).limit(k)`` compiles to
+    TakeOrderedAndProject — each partition keeps its local top-k heap
+    and only k rows per partition move — so sampling 10⁵ docs from a
+    10¹² corpus is one scan plus a k-row gather, no global sort, no
+    shuffle of the corpus. Rows with weight ≤ 0 are excluded (they
+    have probability 0 by definition)."""
+    key_hex = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)).cast("binary")
+    )
+    u = (_hex2int(key_hex, 13) + 1).cast("double") / float(16**13)
+    pri = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_pri", pri)
+        .orderBy(F.col("_pri").desc(), F.col(id_col))
+        .limit(k)
+        .drop("_pri")
+    )
+
+
+def weighted_sample_sql(
+    id_expr: str, weight_expr: str, salt: str = "wsamp:42"
+) -> str:
+    """DuckDB twin of the A-ES priority key (same literals and operator
+    order; ``ln`` of the identical dyadic-rational ``u``). Use as
+    ``ORDER BY <this> DESC, id LIMIT k`` after ``WHERE weight > 0``."""
+    key = f"md5({id_expr}::VARCHAR || ':{salt}')"
+    return (
+        f"ln(({_hex2int_sql(key, 13)} + 1) / {float(16**13)}) "
+        f"/ CAST({weight_expr} AS DOUBLE)"
+    )

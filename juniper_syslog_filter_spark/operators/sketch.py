@@ -133,3 +133,150 @@ def cms_sql(
     SELECT e.term, e.est, x.exact
     FROM _cms_est e JOIN _cms_exact x USING (term)
     """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (Flajolet et al. '07)
+# ---------------------------------------------------------------------------
+
+# Scaling constant for the HLL estimator at 2^41 (the fixed-point scale
+# of the register sum: rho <= 41, so every 2^(41-rho) term is an exact
+# BIGINT and the register sum never sees float rounding).
+_HLL_SCALE = 1 << 41
+
+
+def _hll_register(key: Column, m: int) -> Column:
+    """Register index from the first 3 hex chars (0..4095) mod ``m``
+    (uniform whenever m divides 4096)."""
+    acc = F.lit(0)
+    for i in range(1, 4):
+        acc = acc * 16 + (F.instr(F.lit(_HEX), F.substring(key, i, 1)) - 1)
+    return (acc % m).cast("long")
+
+
+def _hll_register_sql(key: str, m: int) -> str:
+    terms = " + ".join(
+        f"(strpos('{_HEX}', substr({key}, {i}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(1, 4)
+    )
+    return f"(({terms}) % {m})"
+
+
+def _hll_rho(tail: Column) -> Column:
+    """Leading-zero rank of the 40-bit suffix (hex chars 4..13): number
+    of leading zero BITS + 1, computed with pure string/integer ops —
+    no ``log2``/``pow`` floats (Spark's ``log2`` is ``ln(x)/ln(2)`` and
+    NOT exact at powers of two, so a float formulation could disagree
+    with the oracle at floor boundaries). ``4 × leading-'0'-hex-chars +
+    zeros-inside-the-first-nonzero-nibble + 1``; all-zero tail → 41."""
+    z = F.length(F.regexp_extract(tail, "^(0*)", 1))
+    d = F.instr(F.lit(_HEX), tail.substr(z + 1, F.lit(1))) - 1
+    nlz = (
+        F.when(d >= 8, 0).when(d >= 4, 1).when(d >= 2, 2).otherwise(3)
+    )
+    return (
+        F.when(z == 10, 41).otherwise(z * 4 + nlz + 1)
+    ).cast("int")
+
+
+def _hll_rho_sql(tail: str) -> str:
+    z = f"length(regexp_extract({tail}, '^(0*)', 1))"
+    d = f"(strpos('{_HEX}', substr({tail}, {z} + 1, 1)) - 1)"
+    nlz = (
+        f"(CASE WHEN {d} >= 8 THEN 0 WHEN {d} >= 4 THEN 1 "
+        f"WHEN {d} >= 2 THEN 2 ELSE 3 END)"
+    )
+    return f"(CASE WHEN {z} = 10 THEN 41 ELSE {z} * 4 + {nlz} + 1 END)"
+
+
+def _hll_est_fragment(m: int) -> str:
+    """The estimator arithmetic as ONE SQL string evaluated verbatim by
+    BOTH engines (Spark ``F.expr`` and DuckDB) over the aggregate row
+    ``(hit, sum_scaled)`` — identical literals and operator order, so
+    the IEEE-double intermediate is bit-identical and the rounded BIGINT
+    estimate hash-matches. ``sum_scaled = Σ_j 2^(41-M_j)`` over ALL m
+    registers (empty registers contribute 2^41), an exact integer;
+    raw estimate ``alpha_m · m² · 2^41 / sum_scaled`` with the standard
+    small-range linear-counting correction ``m·ln(m/V)``."""
+    alpha_raw = (
+        f"0.7213 / (1.0 + 1.079 / {m}.0) * ({m}.0 * {m}.0) "
+        f"* {float(_HLL_SCALE)} / sum_scaled"
+    )
+    lc = f"{m}.0 * ln({m}.0 / ({m} - hit))"
+    return (
+        f"CAST(round(CASE WHEN ({m} - hit) > 0 AND ({alpha_raw}) <= {2.5 * m} "
+        f"THEN {lc} ELSE {alpha_raw} END) AS BIGINT)"
+    )
+
+
+def hll_build(df: DataFrame, value_col: str, m: int = 1024) -> DataFrame:
+    """Build the m-register HLL sketch ``(register, mx)`` over a value
+    column: ``key = md5('hll:' || v)``; register from the first 3 hex
+    chars, rho from the next 10 (40 bits). ONE aggregate that map-side
+    combines to ≤ m keys per partition — the reducer sees O(m) rows no
+    matter the stream, where exact ``countDistinct`` shuffles every
+    distinct value. Sketches MERGE by ``max`` per register, so daily /
+    per-split sketches roll up without re-reading data — the
+    cardinality census a 100-TB ingest keeps per partition."""
+    key = F.md5(F.concat(F.lit("hll:"), F.col(value_col)).cast("binary"))
+    tail = F.substring(key, 4, 10)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            _hll_register(key, m).alias("register"),
+            _hll_rho(tail).alias("rho"),
+        )
+        .groupBy("register")
+        .agg(F.max("rho").alias("mx"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, m: int = 1024) -> DataFrame:
+    """Collapse the sketch to one row ``(est_hll, registers_hit,
+    sum_scaled)``. The register sum is kept as an exact 2^41-scaled
+    BIGINT (``shiftleft``; rho ≤ 41 so every term is integral) and the
+    float estimator runs through :func:`_hll_est_fragment`'s shared
+    expression string, so the estimate is engine-exact — the sketch
+    VALUES are oracle-checked, not just the estimate's ballpark."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("hit"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 41 - mx)"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(_HLL_SCALE)
+        ).cast("long").alias("sum_scaled"),
+    )
+    return agg.select(
+        F.expr(_hll_est_fragment(m)).alias("est_hll"),
+        F.col("hit").cast("long").alias("registers_hit"),
+        "sum_scaled",
+    )
+
+
+def hll_sql(values_select: str, m: int = 1024) -> str:
+    """DuckDB twin of build+estimate: ``values_select`` is a full
+    SELECT producing one column ``v``; emits ``(est_hll,
+    registers_hit, sum_scaled)``."""
+    key = "md5('hll:' || v)"
+    return f"""
+    WITH _hll_v AS ({values_select}),
+    _hll_k AS (
+      SELECT {key} AS key, substr({key}, 4, 10) AS tail
+      FROM _hll_v WHERE v IS NOT NULL
+    ),
+    _hll_r AS (
+      SELECT {_hll_register_sql('key', m)} AS register,
+             {_hll_rho_sql('tail')} AS rho
+      FROM _hll_k
+    ),
+    _hll_sk AS (SELECT register, max(rho) AS mx FROM _hll_r GROUP BY 1),
+    _hll_agg AS (
+      SELECT count(*) AS hit,
+             CAST(sum(1::BIGINT << (41 - mx)) AS BIGINT)
+               + ({m} - count(*)) * {_HLL_SCALE} AS sum_scaled
+      FROM _hll_sk
+    )
+    SELECT {_hll_est_fragment(m)} AS est_hll,
+           CAST(hit AS BIGINT) AS registers_hit,
+           CAST(sum_scaled AS BIGINT) AS sum_scaled
+    FROM _hll_agg
+    """

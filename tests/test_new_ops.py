@@ -685,3 +685,154 @@ def test_bpe_merge_step_hand_computed(spark):
     # shares the consumed space, so one merge this scan
     assert out[2] == ("new york", 4, 3)
     assert out[3] == ("new york", 4, 4)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketch
+# ---------------------------------------------------------------------------
+
+
+def _py_hll(values, m=1024):
+    """Independent Python reference of the md5 register/rho rule."""
+    regs = {}
+    for v in values:
+        h = hashlib.md5(f"hll:{v}".encode()).hexdigest()
+        reg = int(h[:3], 16) % m
+        tail = h[3:13]
+        bits = bin(int(tail, 16))[2:].zfill(40)
+        rho = 41 if int(tail, 16) == 0 else bits.index("1") + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python_reference(spark):
+    from juniper_syslog_filter_spark.operators.sketch import hll_build
+
+    vals = [f"key-{i}" for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {r.register: r.mx for r in hll_build(df, "v", m=1024).collect()}
+    assert got == _py_hll(vals)
+
+
+def test_hll_estimate_within_error_envelope(spark):
+    """Standard error is 1.04/sqrt(1024) ~ 3.3%; assert a loose 4-sigma
+    13% envelope on a 5k-distinct stream with duplicates."""
+    from juniper_syslog_filter_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    n = 5000
+    rows = [(f"u-{i % n}",) for i in range(2 * n)]  # every key twice
+    df = spark.createDataFrame(rows, "v string")
+    est = hll_estimate(hll_build(df, "v", m=1024), m=1024).collect()[0]
+    assert abs(est.est_hll - n) / n < 0.13, est
+
+
+def test_hll_linear_counting_small_range(spark):
+    """At tiny cardinality the linear-counting branch is near-exact."""
+    from juniper_syslog_filter_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    df = spark.createDataFrame([(f"x{i}",) for i in range(50)], "v string")
+    est = hll_estimate(hll_build(df, "v", m=1024), m=1024).collect()[0]
+    assert abs(est.est_hll - 50) <= 2
+    assert est.registers_hit <= 50
+
+
+def test_hll_sketches_merge_by_register_max(spark):
+    """The union sketch IS the per-register max of the part sketches —
+    the property that lets daily sketches roll up without re-reads."""
+    from pyspark.sql import functions as F
+    from juniper_syslog_filter_spark.operators.sketch import hll_build
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(500)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(500)], "v string")
+    sk_a = hll_build(a, "v")
+    sk_b = hll_build(b, "v")
+    merged = {
+        r.register: r.mx
+        for r in sk_a.unionAll(sk_b)
+        .groupBy("register")
+        .agg(F.max("mx").alias("mx"))
+        .collect()
+    }
+    direct = {
+        r.register: r.mx for r in hll_build(a.unionAll(b), "v").collect()
+    }
+    assert merged == direct
+
+
+def test_hll_null_values_ignored(spark):
+    from juniper_syslog_filter_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "v string"
+    )
+    est = hll_estimate(hll_build(df, "v"), m=1024).collect()[0]
+    assert est.registers_hit == 2
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+
+def _py_aes_topk(rows, k, salt="wsamp:42"):
+    """Independent reference: top-k ids by ln(u)/w, u from md5."""
+    import math
+
+    keyed = []
+    for rid, w in rows:
+        if w <= 0:
+            continue
+        h = hashlib.md5(f"{rid}:{salt}".encode()).hexdigest()
+        u = (int(h[:13], 16) + 1) / 16**13
+        keyed.append((math.log(u) / w, -rid))
+    keyed.sort(reverse=True)
+    return sorted(-neg for _, neg in keyed[:k])
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    from juniper_syslog_filter_spark.operators.sampling import weighted_sample
+
+    rows = [(i, (i % 7) + 1) for i in range(400)] + [(1000, 0), (1001, -3)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = sorted(
+        r.id for r in weighted_sample(df, "id", "w", 50).collect()
+    )
+    assert got == _py_aes_topk(rows, 50)
+    assert 1000 not in got and 1001 not in got  # weight <= 0 excluded
+
+
+def test_weighted_sample_deterministic_and_salted(spark):
+    from juniper_syslog_filter_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1 + i % 3) for i in range(300)], "id long, w int"
+    )
+    s1 = sorted(r.id for r in weighted_sample(df, "id", "w", 40).collect())
+    s2 = sorted(r.id for r in weighted_sample(df, "id", "w", 40).collect())
+    s3 = sorted(
+        r.id
+        for r in weighted_sample(df, "id", "w", 40, salt="other:1").collect()
+    )
+    assert s1 == s2  # reproducible
+    assert s1 != s3  # salt reseeds
+
+
+def test_weighted_sample_weight_proportional(spark):
+    """Statistical sanity: ids with weight 10 must dominate a k=100
+    sample from 200 weight-10 + 800 weight-1 rows (expected ~71%+)."""
+    from juniper_syslog_filter_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10 if i < 200 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w int")
+    got = [r.id for r in weighted_sample(df, "id", "w", 100).collect()]
+    heavy = sum(1 for i in got if i < 200)
+    assert heavy > 55, heavy

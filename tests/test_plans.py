@@ -276,3 +276,30 @@ def test_cms_sketch_is_broadcast_to_probes(spark):
     plan = _plan(QUERIES["cm1_count_min"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hll_reduces_through_mapside_combine(spark):
+    """hl1: the sketch aggregate must show a partial HashAggregate below
+    its Exchange (the reducer sees <= m register keys, never the
+    distinct stream), and the estimate side joins the 1-row exact count
+    without a sort-merge."""
+    plan = _plan(QUERIES["hl1_hll_distinct"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+    import re
+
+    # register agg + countDistinct's two exchanges; no corpus-sized join
+    n_shuffles = len(re.findall(r"(?<!Broadcast)Exchange\b", plan))
+    assert n_shuffles <= 4, plan[:2000]
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """sm2: the weighted sample must compile to TakeOrderedAndProject
+    (per-partition heaps, k rows move) — no global Sort, no Exchange of
+    the corpus."""
+    plan = _plan(QUERIES["sm2_weighted_sample"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+    import re
+
+    assert not re.search(r"(?<!Broadcast)Exchange\b", plan), plan[:2000]
