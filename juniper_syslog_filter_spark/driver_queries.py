@@ -1816,6 +1816,42 @@ def q_sm2_weighted_sample(spark, sf_dir):
     )
 
 
+def q_bl1_bloom_filter(spark, sf_dir):
+    """Bloom-filter membership pre-pass (operators/sketch.py
+    bloom_build/bloom_probe) — the broadcast pruning step of a
+    decontamination anti-join: the eval-benchmark texts (docs with
+    doc_id % 97 == 0) key a filter whose set-bit array broadcasts as
+    ONE row; every corpus doc then tests its k md5 positions with
+    forall/array_contains IN THE SCAN STAGE — the corpus never
+    shuffles, and only bloom candidates would reach the exact join.
+    Deliberately undersized here (m=64 bits, k=2 for ~6 keys) so false
+    positives EXIST and the sketch itself is pinned by the oracle —
+    bloom_hit differs from exact_hit on FP rows; exact_hit rides along
+    via a broadcast semi-mark to show no-false-negatives. Real sizing:
+    m ≥ ~10n bits for ~1% FP at k=4 (docstring rule)."""
+    from .operators.sketch import bloom_build, bloom_probe
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = (
+        d.where(F.col("doc_id") % 97 == 0)
+        .select(F.col("text").alias("v"))
+        .distinct()
+    )
+    bloom = bloom_build(keyed, "v", m_bits=64, k=2)
+    pb = (
+        d.select("doc_id", "text")
+        .join(
+            F.broadcast(keyed.withColumn("_in", F.lit(1))),
+            F.col("text") == F.col("v"),
+            "left",
+        )
+        .select("doc_id", "text", F.col("_in").isNotNull().alias("exact_hit"))
+    )
+    return bloom_probe(bloom, pb, "text", m_bits=64, k=2).select(
+        "doc_id", "bloom_hit", "exact_hit"
+    )
+
+
 def q_h1_host_stats(spark, sf_dir):
     """Per-host census over Common-Crawl-style URLs: JVM ``parse_url``
     host extraction (no Python, stays in whole-stage codegen),
@@ -2285,6 +2321,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # mergeable distinct sketch + weighted corpus subsample
     "hl1_hll_distinct": q_hl1_hll_distinct,
     "sm2_weighted_sample": q_sm2_weighted_sample,
+    "bl1_bloom_filter": q_bl1_bloom_filter,
     # keep-latest-per-key compaction (current-state / upsert semantics)
     "u2_latest_state": q_u2_latest_state,
     # ordered conversion funnel + retention cohorts (telemetry analytics)
@@ -3281,6 +3318,16 @@ ORACLE_SQL: dict[str, str] = {
                        CAST(CAST(ts AS DATE) AS VARCHAR))::BIGINT AS exact_distinct
           FROM events
         ) x
+    """,
+    "bl1_bloom_filter": f"""
+        {SK.bloom_sql(
+            "SELECT DISTINCT text AS v FROM documents WHERE doc_id % 97 = 0",
+            "SELECT doc_id, text, text IN (SELECT text FROM documents WHERE doc_id % 97 = 0) AS exact_hit FROM documents",
+            ["doc_id", "exact_hit"],
+            "text",
+            m_bits=64,
+            k=2,
+        )}
     """,
     "sm2_weighted_sample": f"""
         SELECT doc_id, lang, n_chars

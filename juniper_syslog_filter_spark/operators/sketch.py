@@ -280,3 +280,110 @@ def hll_sql(values_select: str, m: int = 1024) -> str:
            CAST(sum_scaled AS BIGINT) AS sum_scaled
     FROM _hll_agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom '70) — membership sketch for broadcast pruning
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos(i: int, v: Column, m_bits: int) -> Column:
+    """Bit position ``i`` for value ``v``: first 4 hex chars of
+    ``md5('{i}#' || v)`` as int, mod ``m_bits`` (same engine-portable
+    string arithmetic as the CMS buckets)."""
+    key = F.md5(F.concat(F.lit(f"{i}#"), v).cast("binary"))
+    acc = F.lit(0)
+    for c in range(1, 5):
+        acc = acc * 16 + (F.instr(F.lit(_HEX), F.substring(key, c, 1)) - 1)
+    return (acc % m_bits).cast("long")
+
+
+def _bloom_pos_sql(i: int, v_expr: str, m_bits: int) -> str:
+    key = f"md5('{i}#' || {v_expr})"
+    terms = " + ".join(
+        f"(strpos('{_HEX}', substr({key}, {c}, 1)) - 1) * {16 ** (4 - c)}"
+        for c in range(1, 5)
+    )
+    return f"(({terms}) % {m_bits})"
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, m_bits: int = 8192, k: int = 4
+) -> DataFrame:
+    """Build the filter as its SET BIT POSITIONS ``(pos)`` — ≤ m_bits
+    rows regardless of the keyed set's size (the relational form of the
+    bit array; a real deployment ORs the positions into a bitmap UDAF,
+    but the distinct-positions table is the same information and joins
+    the same way). One aggregate with map-side combine to ≤ m_bits keys
+    per partition. False-positive rate ≈ (1 - e^(-kn/m))^k — size
+    ``m_bits ≥ ~10n`` for ~1% at k=4."""
+    pos = df.where(F.col(value_col).isNotNull()).select(
+        F.explode(
+            F.array(
+                *[_bloom_pos(i, F.col(value_col), m_bits) for i in range(k)]
+            )
+        ).alias("pos")
+    )
+    return pos.distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    m_bits: int = 8192,
+    k: int = 4,
+) -> DataFrame:
+    """Membership test, map-side: the filter collapses to ONE row
+    holding its set-bit array (≤ m_bits ints — broadcastable by
+    construction, that is the point), and every probe row computes its
+    k positions and tests them with ``forall``/``array_contains`` in
+    the scan stage — the probe side NEVER shuffles and keeps all its
+    columns. Exactly the shape of a 100-TB decontamination pre-pass:
+    only bloom-candidate rows reach the expensive exact anti-join. No
+    false negatives (a keyed value always hits); false positives ≈
+    (1 - e^(-kn/m))^k are resolved by the exact verify that follows.
+
+    Returns ``probes`` + ``bloom_hit`` (boolean)."""
+    bits = bloom.agg(F.collect_set("pos").alias("_bits"))
+    pos_arr = F.array(
+        *[_bloom_pos(i, F.col(value_col), m_bits) for i in range(k)]
+    )
+    return (
+        probes.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "bloom_hit",
+            F.forall(pos_arr, lambda p: F.array_contains(F.col("_bits"), p)),
+        )
+        .drop("_bits")
+    )
+
+
+def bloom_sql(
+    keyed_select: str,
+    probe_select: str,
+    probe_cols: list[str],
+    value_expr: str,
+    m_bits: int = 8192,
+    k: int = 4,
+) -> str:
+    """DuckDB twin of build+probe: ``keyed_select`` yields one column
+    ``v`` (the keyed set); ``probe_select`` yields ``probe_cols`` plus
+    whatever ``value_expr`` reads. Emits ``probe_cols + (bloom_hit)``
+    — per probe ROW, like the Spark map-side form."""
+    set_pos = " UNION ".join(
+        f"SELECT {_bloom_pos_sql(i, 'v', m_bits)} AS pos FROM _bl_keyed"
+        for i in range(k)
+    )
+    hit = " AND ".join(
+        f"({_bloom_pos_sql(i, value_expr, m_bits)} IN (SELECT pos FROM _bl_bits))"
+        for i in range(k)
+    )
+    cols = ", ".join(probe_cols)
+    return f"""
+    WITH _bl_keyed AS ({keyed_select}),
+    _bl_bits AS ({set_pos}),
+    _bl_probe AS ({probe_select})
+    SELECT {cols}, ({hit}) AS bloom_hit
+    FROM _bl_probe
+    """

@@ -836,3 +836,92 @@ def test_weighted_sample_weight_proportional(spark):
     got = [r.id for r in weighted_sample(df, "id", "w", 100).collect()]
     heavy = sum(1 for i in got if i < 200)
     assert heavy > 55, heavy
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def _py_bloom_positions(v, m_bits, k):
+    out = []
+    for i in range(k):
+        h = hashlib.md5(f"{i}#{v}".encode()).hexdigest()
+        out.append(int(h[:4], 16) % m_bits)
+    return out
+
+
+def test_bloom_no_false_negatives_and_matches_reference(spark):
+    from juniper_syslog_filter_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    keyed_vals = [f"doc-{i}" for i in range(30)]
+    keyed = spark.createDataFrame([(v,) for v in keyed_vals], "v string")
+    bloom = bloom_build(keyed, "v", m_bits=256, k=3)
+
+    # filter contents match the Python reference exactly
+    want_bits = set()
+    for v in keyed_vals:
+        want_bits.update(_py_bloom_positions(v, 256, 3))
+    got_bits = {r.pos for r in bloom.collect()}
+    assert got_bits == want_bits
+
+    probes = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(60)], "v string"
+    )
+    got = {
+        r.v: r.bloom_hit
+        for r in bloom_probe(bloom, probes, "v", m_bits=256, k=3).collect()
+    }
+    # every keyed value hits (no false negatives)
+    assert all(got[f"doc-{i}"] for i in range(30))
+    # probe verdicts match the reference bit test exactly
+    for i in range(30, 60):
+        v = f"doc-{i}"
+        want = all(p in want_bits for p in _py_bloom_positions(v, 256, 3))
+        assert got[v] == want
+
+
+def test_bloom_undersized_filter_has_false_positives(spark):
+    """With m << 10n the FP rate is large — the property the bl1
+    contract query relies on to pin the sketch against the oracle."""
+    from juniper_syslog_filter_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    keyed = spark.createDataFrame(
+        [(f"k-{i}",) for i in range(40)], "v string"
+    )
+    bloom = bloom_build(keyed, "v", m_bits=64, k=2)
+    probes = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(200)], "v string"
+    )
+    hits = [
+        r.bloom_hit
+        for r in bloom_probe(bloom, probes, "v", m_bits=64, k=2).collect()
+    ]
+    assert 0 < sum(hits) < 200  # FPs exist but not everything hits
+
+
+def test_bloom_probe_is_map_side(spark):
+    """The probe side must not shuffle: no non-broadcast Exchange above
+    the probe scan (the bits row broadcasts; positions test in-scan)."""
+    import re
+    from juniper_syslog_filter_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    keyed = spark.createDataFrame([(f"k-{i}",) for i in range(10)], "v string")
+    probes = spark.createDataFrame([(f"p-{i}",) for i in range(10)], "v string")
+    out = bloom_probe(bloom_build(keyed, "v"), probes, "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only Exchange allowed is the keyed side's distinct (tiny) —
+    # nothing on the probe lineage; BroadcastNestedLoopJoin carries the
+    # single bits row
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    probe_branch = plan.split("BroadcastNestedLoopJoin")[0]
+    assert not re.search(r"(?<!Broadcast)Exchange\b", probe_branch), plan[:2000]
