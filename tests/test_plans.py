@@ -303,3 +303,19 @@ def test_weighted_sample_is_take_ordered(spark):
     import re
 
     assert not re.search(r"(?<!Broadcast)Exchange\b", plan), plan[:2000]
+
+
+def test_bloom_probe_corpus_never_shuffles(spark):
+    """bl1: the corpus lineage (scan → broadcast exact-mark join →
+    broadcast bits join → project) must contain no non-broadcast
+    Exchange — the membership test runs in the scan stage."""
+    plan = _plan(QUERIES["bl1_bloom_filter"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    import re
+
+    # allowed shuffles: the keyed side's distinct + its collect_set agg
+    # (both over <= a handful of eval rows); the corpus branch above the
+    # scan must be Exchange-free. Split at the BNLJ: everything BEFORE
+    # it is the probe-side lineage in the string rendering.
+    probe_branch = plan.split("BroadcastNestedLoopJoin")[0]
+    assert not re.search(r"(?<!Broadcast)Exchange\b", probe_branch), plan[:2000]
