@@ -16,30 +16,38 @@ turbo in or out directly.
 
 Usage: python scripts/bandwidth_saturation_calib.py [P_lo P_hi]
 
-Measured on the 32-vCPU bench VM (2026-08-19, quiet window):
+Measured on the 32-vCPU bench VM (2026-08-19). Single-shot cells are
+strongly window-dependent — run several interleaved rounds and take
+best-of-rounds per cell (an ambient spike can only slow a cell down,
+never speed it up, so max is the hardware number). Quietest window
+achieved (loadavg 1.6 at launch, 4 interleaved rounds, best-of):
 
-    {"alu_p2": {"per_proc_rate": 140912.5, "avg_mhz": 2100.0},
-     "alu_p8": {"per_proc_rate": 140029.2, "avg_mhz": 2100.0},
-     "bw_p2":  {"per_proc_rate": 8.1, "avg_mhz": 2100.0},
-     "bw_p8":  {"per_proc_rate": 2.0, "avg_mhz": 2100.0},
-     "alu_ratio_8v2": 0.994, "bw_ratio_8v2": 0.247}
+    alu_p2 183890  alu_p8 183547   -> alu_ratio_8v2 = 0.998
+    bw_p2  21.2    bw_p8  9.55     -> bw_ratio_8v2  = 0.45
+    clock pinned at 2100 MHz in every cell
 
-Reading: the clock is pinned at 2100 MHz regardless of width (no
-turbo; ALU ratio 0.994 == perfect), but TWO streaming processes
-already saturate the single memory controller (aggregate ~12 GB/s flat
-from P=2 to P=8), so per-core streaming bandwidth at P=8 is 24.7% of
-the P=2 figure. A perfectly-parallel but bandwidth-bound job would
-therefore measure ~0.25 "scaling efficiency" from 2 to 8 cores on
-this host — a pure single-socket artifact: on a real cluster, the 4N
-executor fleet brings 4x the memory controllers and this term is flat
-by construction.
+Busier windows push the streaming cells down and the ratio lower (a
+contended window measured bw 8.1 vs 2.0 = 0.247; during a loadavg 3->9
+storm the same cells swung 0.2-17.9). The P=2 streaming cell alone
+spans 2.6x across windows — which is exactly the ambient coupling
+that makes the pipeline's 2-core scaling BASELINE swing run-to-run
+while its 8-core level reproduces to +-1.7%.
+
+Reading: the clock is pinned regardless of width (no turbo; ALU ratio
+0.998 == perfect), but per-stream memory bandwidth at P=8 is at best
+45% of the P=2 figure (aggregate grows only 1.8x for 4x streams). A
+perfectly-parallel but bandwidth-bound job would measure ~0.45
+"scaling efficiency" from 2 to 8 cores on this host — a pure
+single-socket artifact: on a real cluster, the 4N executor fleet
+brings 4x the memory controllers and per-NODE stream counts are
+unchanged, so this term is flat by construction.
 
 Amdahl decomposition used in BENCH.md: if a fraction f of per-core
-time is controller-saturated streaming, measured per-core efficiency
-from P_lo to P_hi is  eff = 1 / ((1-f) + f / bw_ratio).  Inverting the
+time is contended streaming, measured per-core efficiency from P_lo
+to P_hi is  eff = 1 / ((1-f) + f / bw_ratio).  Inverting the
 pipeline's measured eff gives f; the cluster-extrapolated efficiency
 (each fleet has its own controllers, bw_ratio -> 1) is then 1/((1-f)+f)
-= 1 within the frequency envelope (alu_ratio 0.994).
+= 1 within the frequency envelope (alu_ratio 0.998).
 """
 
 from __future__ import annotations
