@@ -3322,7 +3322,7 @@ ORACLE_SQL: dict[str, str] = {
     "bl1_bloom_filter": f"""
         {SK.bloom_sql(
             "SELECT DISTINCT text AS v FROM documents WHERE doc_id % 97 = 0",
-            "SELECT doc_id, text, text IN (SELECT text FROM documents WHERE doc_id % 97 = 0) AS exact_hit FROM documents",
+            "SELECT doc_id, text, COALESCE(text IN (SELECT text FROM documents WHERE doc_id % 97 = 0), FALSE) AS exact_hit FROM documents",
             ["doc_id", "exact_hit"],
             "text",
             m_bits=64,

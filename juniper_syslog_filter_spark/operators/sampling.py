@@ -308,7 +308,17 @@ def weighted_sample_sql(
 ) -> str:
     """DuckDB twin of the A-ES priority key (same literals and operator
     order; ``ln`` of the identical dyadic-rational ``u``). Use as
-    ``ORDER BY <this> DESC, id LIMIT k`` after ``WHERE weight > 0``."""
+    ``ORDER BY <this> DESC, id LIMIT k`` after ``WHERE weight > 0``.
+
+    Known flake surface (documented, not fixable in-band): IEEE 754
+    does not require correctly-rounded ``ln``, so Spark (JVM
+    ``Math.log``) and DuckDB (libm) may disagree by 1 ULP. The sorted
+    keys are md5-derived doubles, so two priorities landing within a
+    ULP of each other AT the rank-k boundary is the only way the
+    selected set can differ across engines — astronomically unlikely
+    for hash-derived keys, and never observed across rounds, but a
+    mismatch here should be re-checked against this note before being
+    treated as a logic bug."""
     key = f"md5({id_expr}::VARCHAR || ':{salt}')"
     return (
         f"ln(({_hex2int_sql(key, 13)} + 1) / {float(16**13)}) "

@@ -145,6 +145,18 @@ def cms_sql(
 _HLL_SCALE = 1 << 41
 
 
+def _hll_check_m(m: int) -> None:
+    """The register index is 12 hash bits (3 hex chars, 0..4095), so the
+    sketch is uniform ONLY when ``m`` divides 4096 — any other m silently
+    biases registers (m=2000 folds unevenly; m>4096 caps distinct
+    registers at 4096). Enforced here rather than in a docstring."""
+    if m <= 0 or m > 4096 or 4096 % m != 0:
+        raise ValueError(
+            f"HLL m={m} must be a positive divisor of 4096 (register "
+            "index comes from 12 hash bits); use 16, 64, 256, 1024, 4096…"
+        )
+
+
 def _hll_register(key: Column, m: int) -> Column:
     """Register index from the first 3 hex chars (0..4095) mod ``m``
     (uniform whenever m divides 4096)."""
@@ -197,7 +209,23 @@ def _hll_est_fragment(m: int) -> str:
     estimate hash-matches. ``sum_scaled = Σ_j 2^(41-M_j)`` over ALL m
     registers (empty registers contribute 2^41), an exact integer;
     raw estimate ``alpha_m · m² · 2^41 / sum_scaled`` with the standard
-    small-range linear-counting correction ``m·ln(m/V)``."""
+    small-range linear-counting correction ``m·ln(m/V)``.
+
+    Determinism envelope, made explicit: the ALPHA branch uses only
+    ``*`` and ``/``, which IEEE 754 requires to be correctly rounded —
+    bit-identical across engines unconditionally (including the branch
+    PREDICATE, a comparison on a correctly-rounded quotient). The
+    LINEAR-COUNTING branch uses ``ln``, which IEEE does NOT require to
+    be correctly rounded; a 1-ULP divergence between JVM ``Math.log``
+    and DuckDB's libm could flip the rounded BIGINT only when
+    ``m·ln(m/V)`` sits within ~m ULPs of a .5 boundary. The integer
+    register columns (``registers_hit``, ``sum_scaled``) remain the
+    unconditionally exact-compared ground truth either way, and
+    ``tests/test_new_ops.py::test_hl1_oracle_est_far_from_libm_boundary``
+    pins, per oracle SF, that either the alpha branch fires (sf0.01,
+    the driver's gate) or the lc value sits >= 1e-3 (~10^10 ULPs) from
+    the nearest rounding boundary (sf0.001) — so the gate never rides
+    on libm agreement (round-3 advice)."""
     alpha_raw = (
         f"0.7213 / (1.0 + 1.079 / {m}.0) * ({m}.0 * {m}.0) "
         f"* {float(_HLL_SCALE)} / sum_scaled"
@@ -218,6 +246,7 @@ def hll_build(df: DataFrame, value_col: str, m: int = 1024) -> DataFrame:
     distinct value. Sketches MERGE by ``max`` per register, so daily /
     per-split sketches roll up without re-reading data — the
     cardinality census a 100-TB ingest keeps per partition."""
+    _hll_check_m(m)
     key = F.md5(F.concat(F.lit("hll:"), F.col(value_col)).cast("binary"))
     tail = F.substring(key, 4, 10)
     return (
@@ -237,11 +266,21 @@ def hll_estimate(sketch: DataFrame, m: int = 1024) -> DataFrame:
     BIGINT (``shiftleft``; rho ≤ 41 so every term is integral) and the
     float estimator runs through :func:`_hll_est_fragment`'s shared
     expression string, so the estimate is engine-exact — the sketch
-    VALUES are oracle-checked, not just the estimate's ballpark."""
+    VALUES are oracle-checked, not just the estimate's ballpark.
+
+    Empty-sketch edge: ``F.sum`` over zero rows is NULL, which would
+    null the whole estimator — the register sum is coalesced to 0 so an
+    empty sketch yields ``sum_scaled = m·2^41``, hit = 0, and the
+    linear-counting branch returns ``m·ln(m/m) = 0``, the right answer
+    for an empty stream."""
+    _hll_check_m(m)
     agg = sketch.agg(
         F.count(F.lit(1)).alias("hit"),
         (
-            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 41 - mx)"))
+            F.coalesce(
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 41 - mx)")),
+                F.lit(0).cast("long"),
+            )
             + (F.lit(m) - F.count(F.lit(1))) * F.lit(_HLL_SCALE)
         ).cast("long").alias("sum_scaled"),
     )
@@ -256,6 +295,7 @@ def hll_sql(values_select: str, m: int = 1024) -> str:
     """DuckDB twin of build+estimate: ``values_select`` is a full
     SELECT producing one column ``v``; emits ``(est_hll,
     registers_hit, sum_scaled)``."""
+    _hll_check_m(m)
     key = "md5('hll:' || v)"
     return f"""
     WITH _hll_v AS ({values_select}),
@@ -271,7 +311,7 @@ def hll_sql(values_select: str, m: int = 1024) -> str:
     _hll_sk AS (SELECT register, max(rho) AS mx FROM _hll_r GROUP BY 1),
     _hll_agg AS (
       SELECT count(*) AS hit,
-             CAST(sum(1::BIGINT << (41 - mx)) AS BIGINT)
+             CAST(coalesce(sum(1::BIGINT << (41 - mx)), 0) AS BIGINT)
                + ({m} - count(*)) * {_HLL_SCALE} AS sum_scaled
       FROM _hll_sk
     )
@@ -344,7 +384,10 @@ def bloom_probe(
     false negatives (a keyed value always hits); false positives ≈
     (1 - e^(-kn/m))^k are resolved by the exact verify that follows.
 
-    Returns ``probes`` + ``bloom_hit`` (boolean)."""
+    Returns ``probes`` + ``bloom_hit`` (boolean). A NULL probe value is
+    pinned to ``bloom_hit = false`` (NULL is never a member — matching
+    :func:`bloom_build`, which drops NULL keys), not SQL's three-valued
+    NULL, so probe semantics agree across engines on nullable columns."""
     bits = bloom.agg(F.collect_set("pos").alias("_bits"))
     pos_arr = F.array(
         *[_bloom_pos(i, F.col(value_col), m_bits) for i in range(k)]
@@ -353,7 +396,12 @@ def bloom_probe(
         probes.crossJoin(F.broadcast(bits))
         .withColumn(
             "bloom_hit",
-            F.forall(pos_arr, lambda p: F.array_contains(F.col("_bits"), p)),
+            F.coalesce(
+                F.forall(
+                    pos_arr, lambda p: F.array_contains(F.col("_bits"), p)
+                ),
+                F.lit(False),
+            ),
         )
         .drop("_bits")
     )
@@ -370,7 +418,9 @@ def bloom_sql(
     """DuckDB twin of build+probe: ``keyed_select`` yields one column
     ``v`` (the keyed set); ``probe_select`` yields ``probe_cols`` plus
     whatever ``value_expr`` reads. Emits ``probe_cols + (bloom_hit)``
-    — per probe ROW, like the Spark map-side form."""
+    — per probe ROW, like the Spark map-side form. ``bloom_hit`` is
+    COALESCEd to FALSE so a NULL probe value reads "not a member",
+    pinning the same semantics as :func:`bloom_probe`."""
     set_pos = " UNION ".join(
         f"SELECT {_bloom_pos_sql(i, 'v', m_bits)} AS pos FROM _bl_keyed"
         for i in range(k)
@@ -384,6 +434,6 @@ def bloom_sql(
     WITH _bl_keyed AS ({keyed_select}),
     _bl_bits AS ({set_pos}),
     _bl_probe AS ({probe_select})
-    SELECT {cols}, ({hit}) AS bloom_hit
+    SELECT {cols}, COALESCE(({hit}), FALSE) AS bloom_hit
     FROM _bl_probe
     """

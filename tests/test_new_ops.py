@@ -778,6 +778,80 @@ def test_hll_null_values_ignored(spark):
     assert est.registers_hit == 2
 
 
+def test_hll_empty_input_estimates_zero(spark):
+    """F.sum over zero rows is NULL; the coalesce pins the empty-sketch
+    estimate to 0 (linear counting with V = m), not NULL (round-3
+    advice: sketch.py:244)."""
+    from juniper_syslog_filter_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+    )
+
+    df = spark.createDataFrame([], "v string")
+    est = hll_estimate(hll_build(df, "v"), m=1024).collect()[0]
+    assert est.registers_hit == 0
+    assert est.sum_scaled == 1024 * (1 << 41)
+    assert est.est_hll == 0
+
+
+def test_hll_m_must_divide_4096(spark):
+    """m=2000 (non-divisor) and m=8192 (> 12 hash bits) silently bias
+    the register distribution — now hard errors (round-3 advice:
+    sketch.py:148)."""
+    import pytest
+
+    from juniper_syslog_filter_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+        hll_sql,
+    )
+
+    df = spark.createDataFrame([("a",)], "v string")
+    for bad_m in (2000, 8192, 0, -16, 3):
+        with pytest.raises(ValueError, match="divisor of 4096"):
+            hll_build(df, "v", m=bad_m)
+        with pytest.raises(ValueError, match="divisor of 4096"):
+            hll_estimate(df, m=bad_m)
+        with pytest.raises(ValueError, match="divisor of 4096"):
+            hll_sql("SELECT 'a' AS v", m=bad_m)
+    for good_m in (16, 64, 256, 1024, 4096):
+        hll_build(df, "v", m=good_m)  # no raise
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_hl1_oracle_est_far_from_libm_boundary(spark, sf):
+    """The hl1 gate's only libm-dependent term is the linear-counting
+    branch's ln() (round-3 advice: sketch.py:192 — IEEE does not require
+    correctly-rounded log, so a 1-ULP Spark/DuckDB divergence near a .5
+    boundary could flip the rounded BIGINT). Pin, per oracle SF, that
+    EITHER the alpha branch fires (pure * and /, correctly rounded,
+    engine-exact unconditionally — true at sf0.01, the driver's gate)
+    OR the lc value sits >= 1e-3 from the nearest rounding boundary
+    (~10^10 ULPs of slack; true at sf0.001). Fixtures are fixed, so
+    this makes the flake impossible on the gate data, not just
+    unlikely."""
+    import math
+
+    from juniper_syslog_filter_spark.driver_queries import (
+        q_hl1_hll_distinct,
+    )
+
+    row = q_hl1_hll_distinct(spark, sf).collect()[0]
+    m = 1024
+    # Recompute the CASE predicate from the exact integer aggregates:
+    # linear counting fires only when hit < m AND alpha_raw <= 2.5*m.
+    alpha_raw = (
+        0.7213 / (1.0 + 1.079 / m) * (m * m) * float(1 << 41)
+    ) / row.sum_scaled
+    if row.registers_hit == m or alpha_raw > 2.5 * m:
+        return  # alpha branch: ln never evaluated
+    lc = m * math.log(m / (m - row.registers_hit))
+    dist = abs(lc - math.floor(lc) - 0.5)
+    assert dist >= 1e-3, (row, lc)
+
+
 # ---------------------------------------------------------------------------
 # weighted_sample (Efraimidis-Spirakis A-ES)
 # ---------------------------------------------------------------------------
@@ -882,6 +956,27 @@ def test_bloom_no_false_negatives_and_matches_reference(spark):
         v = f"doc-{i}"
         want = all(p in want_bits for p in _py_bloom_positions(v, 256, 3))
         assert got[v] == want
+
+
+def test_bloom_null_probe_is_not_member(spark):
+    """A NULL probe value reads bloom_hit = FALSE, not SQL NULL — the
+    same pin the DuckDB twin applies via COALESCE, so bl1's oracle
+    contract survives a nullable text column (round-3 advice:
+    driver_queries.py:3325)."""
+    from juniper_syslog_filter_spark.operators.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    keyed = spark.createDataFrame([("a",), ("b",)], "v string")
+    bloom = bloom_build(keyed, "v", m_bits=256, k=3)
+    probes = spark.createDataFrame([("a",), (None,), ("zz",)], "v string")
+    got = {
+        r.v: r.bloom_hit
+        for r in bloom_probe(bloom, probes, "v", m_bits=256, k=3).collect()
+    }
+    assert got["a"] is True
+    assert got[None] is False  # pinned, not NULL
 
 
 def test_bloom_undersized_filter_has_false_positives(spark):
