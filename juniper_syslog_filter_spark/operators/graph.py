@@ -41,9 +41,11 @@ Scale design (the 100-TB lens):
 * For adversarial long-chain graphs (diameter ~ n) the published fix is
   alternating large-star/small-star (Kiveris et al., "Connected
   Components in MapReduce and Beyond", SoCC'14), which converges in
-  O(log² n) rounds with the identical per-round join shape — the loop
-  below is deliberately the simple variant because dup graphs are
-  diameter-bounded; swap the per-round message set to upgrade.
+  O(log² n) rounds with the identical per-round join shape —
+  ``algorithm="star"`` selects it (:func:`_cc_star` below);
+  min-label propagation stays the default because dup graphs are
+  diameter-bounded and propagation's per-round constant is smaller
+  (one join vs two grouped phases).
 * The edge list is symmetrized + self-looped once up front; dedup
   (``distinct``) keeps message volume at 2|E|+|V| per round.
 
@@ -62,13 +64,26 @@ def connected_components(
     src_col: str,
     dst_col: str,
     max_iter: int = 25,
+    algorithm: str = "propagation",
+    rounds_out: list[int] | None = None,
 ) -> DataFrame:
     """Close an undirected pair list into components.
 
     Returns ``(node, cluster_id)`` — one row per distinct node appearing
     in ``pairs``, ``cluster_id`` = min node id in its component (a
     deterministic canonical-keeper election).
+
+    ``algorithm``: ``"propagation"`` (default — min-label propagation,
+    O(diameter) rounds, one join per round) or ``"star"`` (alternating
+    large-star/small-star, Kiveris et al. SoCC'14 — O(log² n) rounds on
+    ANY graph shape, including adversarial long chains). Both return
+    the identical labelling. ``rounds_out``, if given a list, receives
+    the executed round count (for convergence diagnostics/tests).
     """
+    if algorithm == "star":
+        return _cc_star(pairs, src_col, dst_col, max_iter, rounds_out)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     spark = pairs.sparkSession
     # Materialize the pair list ONCE before fanning it into the 4-way
     # symmetrize union — each union branch re-evaluates its input, and
@@ -97,44 +112,178 @@ def connected_components(
         1,
         min(4 * spark.sparkContext.defaultParallelism, n_edges // 200_000 + 1),
     )
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        edges = edges.repartition(parts, "v").localCheckpoint()
-        labels = (
-            edges.select(F.col("u").alias("node"))
-            .distinct()
-            .withColumn("label", F.col("node"))
+    # Graph-sized shuffle widths via EXPLICIT per-plan repartition, not a
+    # session-conf mutation (racy if two queries share the session): the
+    # joins see both sides hash-partitioned (parts) on the join key and
+    # elide their exchanges; the per-round aggregation sits on a
+    # repartition(parts, node) whose partitioning it reuses, so every
+    # shuffle in the loop runs at `parts` width regardless of
+    # spark.sql.shuffle.partitions.
+    edges = edges.repartition(parts, "v").localCheckpoint()
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .repartition(parts, "node")
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # node <- min(label of every neighbour incl. itself); the
+        # self-loop row is tagged so the same aggregation also emits
+        # the node's previous label for the fixpoint test.
+        msgs = edges.join(
+            labels.repartition(parts, "node"),
+            edges["v"] == labels["node"],
+        ).select(
+            edges["u"].alias("node"),
+            F.col("label"),
+            (edges["u"] == edges["v"]).alias("is_self"),
+        )
+        agg = (
+            msgs.repartition(parts, "node")
+            .groupBy("node")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("is_self"), F.col("label"))).alias(
+                    "_old"
+                ),
+            )
             .localCheckpoint()
         )
-
-        for _ in range(max_iter):
-            # node <- min(label of every neighbour incl. itself); the
-            # self-loop row is tagged so the same aggregation also emits
-            # the node's previous label for the fixpoint test.
-            msgs = edges.join(labels, edges["v"] == labels["node"]).select(
-                edges["u"].alias("node"),
-                F.col("label"),
-                (edges["u"] == edges["v"]).alias("is_self"),
-            )
-            agg = (
-                msgs.groupBy("node")
-                .agg(
-                    F.min("label").alias("label"),
-                    F.min(F.when(F.col("is_self"), F.col("label"))).alias(
-                        "_old"
-                    ),
-                )
-                .localCheckpoint()
-            )
-            changed = agg.where(F.col("label") != F.col("_old")).count()
-            labels = agg.select("node", "label")
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        changed = agg.where(F.col("label") != F.col("_old")).count()
+        labels = agg.select("node", "label")
+        if changed == 0:
+            break
+    if rounds_out is not None:
+        rounds_out.append(rounds)
 
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def _cc_star(
+    pairs: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_iter: int,
+    rounds_out: list[int] | None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris,
+    Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components
+    in MapReduce and Beyond", SoCC'14, Algorithm 2 "Two-Phase").
+
+    Per round, over the canonical edge set (big endpoint first):
+
+    * **large-star(u)**: every strictly-larger neighbour of ``u`` is
+      re-wired to ``m = min(Γ(u) ∪ {u})`` — each undirected edge is
+      processed exactly once, from its smaller endpoint's group.
+    * **small-star(u)**: ``u`` and all its smaller neighbours are
+      re-wired to ``m = min(smaller neighbours)``.
+
+    Both phases preserve connectivity and never increase the edge
+    count; the paper proves convergence to disjoint stars rooted at
+    each component minimum in O(log² n) rounds on any graph — this is
+    the scale path for adversarial long-chain graphs where min-label
+    propagation needs O(diameter) rounds.
+
+    Scale design: each phase is one grouped ``min`` (partial-agg,
+    map-side combined) + one co-partitioned join back, at a shuffle
+    width sized to the pair graph exactly as the propagation variant;
+    ``localCheckpoint`` per round truncates lineage. The fixpoint test
+    (edge set unchanged) is |new| == |old| plus an empty anti-join —
+    two graph-sized metadata jobs per round.
+    """
+    spark = pairs.sparkSession
+    p0 = pairs.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).localCheckpoint()
+    # Node census BEFORE dropping self-pairs: isolated nodes that appear
+    # only as (x, x) pairs must still be labelled (with themselves).
+    nodes = (
+        p0.select(F.col("u").alias("node"))
+        .union(p0.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = p0.count()
+    parts = max(
+        1,
+        min(4 * spark.sparkContext.defaultParallelism, n_edges // 200_000 + 1),
+    )
+    # Canonical form: (big, small), self-loops dropped — both phases
+    # re-derive the directions they need from this single set.
+    edges = (
+        p0.where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .repartition(parts, "u")
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_count = edges.count()
+
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # -- large-star: full neighbourhoods need both directions.
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.repartition(parts, "u")
+            .groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        )
+        ls = (
+            sym.repartition(parts, "u")
+            .join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .repartition(parts, "u")
+            .distinct()
+            .localCheckpoint()
+        )
+        # -- small-star: ls is already canonical (u > v everywhere).
+        minss = (
+            ls.repartition(parts, "u")
+            .groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+        ss = (
+            ls.repartition(parts, "u")
+            .join(minss, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(minss.select(F.col("u"), F.col("m").alias("v")))
+        )
+        new_edges = (
+            ss.repartition(parts, "u").distinct().localCheckpoint()
+        )
+        new_count = new_edges.count()
+        unchanged = (
+            new_count == prev_count
+            and new_edges.join(edges, ["u", "v"], "left_anti")
+            .limit(1)
+            .count()
+            == 0
+        )
+        edges, prev_count = new_edges, new_count
+        if unchanged:
+            break
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+
+    # At the fixpoint the edge set is a disjoint star forest rooted at
+    # each component minimum: (u, v) = (member, root). Roots and
+    # isolated nodes label themselves.
+    lab = edges.groupBy("u").agg(F.min("v").alias("label"))
+    return nodes.join(lab, nodes["node"] == lab["u"], "left").select(
+        "node", F.coalesce(F.col("label"), F.col("node")).alias("cluster_id")
+    )
 
 
 def dup_clusters(
@@ -220,15 +369,24 @@ def pagerank(
     weight: str | None = None,
     damping: float = 0.85,
     iters: int = 5,
+    dangling: bool = False,
 ) -> DataFrame:
     """Iterative PageRank to ``iters`` power iterations — the full
     solver whose single round :func:`pagerank_step` isolates.
 
     ``r_{t+1}(v) = (1-d)/N + d * Σ_{u→v} P(u,v) · r_t(u)`` with
-    ``P(u,v) = w(u,v)/outw(u)`` and ``r_0 = 1/N``. Dangling mass leaks
-    (no redistribution term), matching the step operator and the
-    unrolled-CTE oracle; add a dangling-sum broadcast per round if the
-    graph has heavy sinks and mass conservation matters.
+    ``P(u,v) = w(u,v)/outw(u)`` and ``r_0 = 1/N``. With
+    ``dangling=False`` dangling mass leaks (no redistribution term),
+    matching the step operator and the unrolled-CTE oracle. With
+    ``dangling=True`` each round adds the standard redistribution term
+    ``d · D_t / N`` where ``D_t = Σ rank_t(u)`` over nodes with no
+    out-edges — total rank then sums to exactly 1 every round (mass
+    conserved), the correct form on sink-heavy real web graphs. The
+    dangling set is computed ONCE (node-sized anti-join, checkpointed);
+    per round its mass is one semi-join + 1-row aggregate broadcast —
+    no extra corpus-scale shuffle. ``D_t`` is quantized to 12 decimals
+    in BOTH engines (here and the SQL twin) so the cross-engine value
+    match cannot hinge on float summation order.
 
     Scale design (the 100-TB lens): the transition matrix
     ``P = edges ⋈ outw`` is built ONCE, checkpointed, and
@@ -267,20 +425,43 @@ def pagerank(
         .select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
         .localCheckpoint()
     )
+    # Dangling (sink) node set: appears as a node but never as a src
+    # with outgoing weight — computed once, node-sized.
+    dang = (
+        nodes.join(
+            outw.select(F.col("src").alias("node")), "node", "left_anti"
+        ).localCheckpoint()
+        if dangling
+        else None
+    )
     for _ in range(iters):
         contrib = (
             p.join(ranks, p["src"] == ranks["node"])
             .groupBy("dst")
             .agg(F.sum(F.col("p") * F.col("rank")).alias("cin"))
         )
+        base = nodes.crossJoin(F.broadcast(n_df))
+        if dangling:
+            # D_t as a broadcast 1-row aggregate; quantized so both
+            # engines fold the identical IEEE double (see docstring).
+            dmass = ranks.join(dang, "node", "left_semi").agg(
+                F.round(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)), 12
+                ).alias("dm")
+            )
+            base = base.crossJoin(F.broadcast(dmass))
+            inflow = (
+                F.coalesce(F.col("cin"), F.lit(0.0))
+                + F.col("dm") / F.col("n")
+            )
+        else:
+            inflow = F.coalesce(F.col("cin"), F.lit(0.0))
         ranks = (
-            nodes.crossJoin(F.broadcast(n_df))
-            .join(contrib, nodes["node"] == contrib["dst"], "left")
+            base.join(contrib, base["node"] == contrib["dst"], "left")
             .select(
                 "node",
                 (
-                    (1.0 - damping) / F.col("n")
-                    + damping * F.coalesce(F.col("cin"), F.lit(0.0))
+                    (1.0 - damping) / F.col("n") + damping * inflow
                 ).alias("rank"),
             )
             .localCheckpoint()

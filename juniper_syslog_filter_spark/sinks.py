@@ -51,20 +51,40 @@ def write_routed_parquet(
     )
 
 
+#: export_xlsx refuses inputs above this row count (fail fast instead
+#: of silently OOM-ing the driver in toPandas). 10 chunks of the
+#: Excel-limit chunk size — far beyond any sane spreadsheet handoff.
+MAX_XLSX_EXPORT_ROWS = 10 * MAX_XLSX_ROWS
+
+
 def export_xlsx(
     df: DataFrame,
     output_dir: str,
     base_name: str = "final",
     font_name: str = "Yu Gothic",
     font_size: int = 11,
+    max_rows: int = MAX_XLSX_EXPORT_ROWS,
 ) -> list[str]:
     """S4: final small result → styled .xlsx chunks (driver-side; the
     input MUST already be the post-filter tail of the pipeline, which
     the reference also assumes). Formatting/width rules live in
     :func:`juniper_syslog_filter_spark.xlsx.write_xlsx` (reference
     twin: modules/export_excel.py:81-118). Returns written paths.
+
+    Raises ``ValueError`` when the input exceeds ``max_rows`` — a
+    driver-side ``toPandas`` on an unfiltered table would OOM silently
+    otherwise; the ``limit(max_rows+1).count()`` probe costs one bounded
+    job, never a full scan of an oversized input.
     """
     os.makedirs(output_dir, exist_ok=True)
+    probed = df.limit(max_rows + 1).count()
+    if probed > max_rows:
+        raise ValueError(
+            f"export_xlsx input exceeds max_rows={max_rows}: this sink is "
+            "the driver-side post-filter last mile; write the bulk path "
+            "with write_stage_csv/write_routed_parquet instead, or raise "
+            "max_rows explicitly."
+        )
     # fillna BEFORE astype: astype(str) alone would stringify nulls as
     # "None"/"nan", violating the ''-for-null convention this sink
     # replicates (reference na_rep='', modules/export_excel.py).

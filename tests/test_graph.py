@@ -151,3 +151,119 @@ def test_pagerank_one_iter_equals_step(spark):
     step = {r["node"]: r["rank"] for r in pagerank_step(df, weight="w").collect()}
     for k in step:
         assert abs(full[k] - step[k]) < 1e-9, (k, full[k], step[k])
+
+
+def test_star_matches_propagation(spark):
+    """algorithm='star' (large-star/small-star, Kiveris SoCC'14) must
+    produce the identical labelling as min-label propagation."""
+    edges = [(1, 2), (2, 3), (10, 11), (5, 2), (40, 41), (41, 42), (42, 40)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    prop = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+    star = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            df, "id_a", "id_b", algorithm="star"
+        ).collect()
+    }
+    assert star == prop
+    assert star[3] == 1 and star[5] == 1 and star[40] == 40
+
+
+def test_star_self_pairs_and_singleton_nodes(spark):
+    """Self-pairs keep their node in the census; star must label them
+    with themselves (the propagation variant's self-loop behaviour)."""
+    df = spark.createDataFrame([(3, 3), (1, 2)], "id_a: long, id_b: long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            df, "id_a", "id_b", algorithm="star"
+        ).collect()
+    }
+    assert got == {3: 3, 1: 1, 2: 1}
+
+
+def test_star_converges_logarithmically_on_path(spark):
+    """Adversarial long chain (diameter = n): star needs O(log² n)
+    rounds where propagation needs O(n). On a 200-node path, star must
+    converge (correctly) within 12 rounds; propagation capped at the
+    same 12 rounds must NOT have finished labelling."""
+    n = 200
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a: long, id_b: long"
+    )
+    rounds: list[int] = []
+    star = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            df, "id_a", "id_b", max_iter=12, algorithm="star", rounds_out=rounds
+        ).collect()
+    }
+    assert star == {i: 0 for i in range(n)}
+    assert rounds[0] <= 12, f"star took {rounds[0]} rounds on a {n}-path"
+
+    prop_rounds: list[int] = []
+    prop = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(
+            df, "id_a", "id_b", max_iter=12, rounds_out=prop_rounds
+        ).collect()
+    }
+    # label 0 moves one hop per round: after 12 rounds the far end of
+    # the chain cannot yet carry the component minimum.
+    assert prop[n - 1] != 0
+    assert prop_rounds[0] == 12
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    """dangling=True redistributes sink mass each round: total rank
+    sums to 1 after every iteration count, and the values track the
+    dense numpy recurrence r <- (1-d)/N + d*(P^T r + D/N)."""
+    import numpy as np
+    from juniper_syslog_filter_spark.operators.graph import pagerank
+
+    # b and d are sinks (half the start mass is dangling).
+    edges = [("a", "b", 1.0), ("a", "d", 2.0), ("c", "d", 1.0), ("c", "a", 3.0)]
+    df = spark.createDataFrame(edges, "src: string, dst: string, w: double")
+    for iters in (1, 3, 5):
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                df, "src", "dst", weight="w", iters=iters, dangling=True
+            ).collect()
+        }
+        assert abs(sum(got.values()) - 1.0) < 1e-9, (iters, sum(got.values()))
+        names = ["a", "b", "c", "d"]
+        P = np.zeros((4, 4))
+        for s, t, w in edges:
+            P[names.index(s), names.index(t)] = w
+        outw = P.sum(axis=1, keepdims=True)
+        dang = (outw[:, 0] == 0)
+        Pn = np.divide(P, outw, out=np.zeros_like(P), where=outw > 0)
+        d, n = 0.85, 4.0
+        r = np.full(4, 1 / n)
+        for _ in range(iters):
+            r = (1 - d) / n + d * (Pn.T @ r + r[dang].sum() / n)
+        for i, name in enumerate(names):
+            assert abs(got[name] - r[i]) < 1e-9, (name, got[name], r[i])
+
+
+def test_pagerank_dangling_false_unchanged(spark):
+    """The default (dangling=False) recurrence is untouched by the new
+    parameter: sink mass still leaks, matching the gr2 oracle contract."""
+    from juniper_syslog_filter_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [("a", "b", 1.0)], "src: string, dst: string, w: double"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, weight="w", iters=2).collect()
+    }
+    # r1 = {a: 0.075, b: 0.075 + 0.85*0.5}; b's r1 mass then leaks.
+    d = 0.85
+    r1a = (1 - d) / 2
+    assert abs(got["a"] - (1 - d) / 2) < 1e-12
+    assert abs(got["b"] - ((1 - d) / 2 + d * r1a)) < 1e-12

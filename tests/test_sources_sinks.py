@@ -149,3 +149,16 @@ def test_export_xlsx_formatting_reference_asserts(spark, tmp_path):
     assert len(st["col_widths"]) == 4  # every column has a set width
     for width in st["col_widths"].values():  # clamp [10, 50]
         assert 10 <= width <= 50
+
+
+def test_export_xlsx_row_cap_guard(spark, tmp_path):
+    """export_xlsx must fail fast above max_rows instead of silently
+    collecting an oversized input to the driver (VERDICT r3 finding #2);
+    at or below the cap it writes normally."""
+    import pytest
+
+    df = spark.range(10).selectExpr("id", "CAST(id AS STRING) AS s")
+    with pytest.raises(ValueError, match="max_rows"):
+        export_xlsx(df, str(tmp_path / "cap"), max_rows=9)
+    out = export_xlsx(df, str(tmp_path / "ok"), max_rows=10)
+    assert len(out) == 1
