@@ -31,7 +31,12 @@ from .functions import pii as PII
 from .functions.ip import classify_ip_expr
 from .operators import dedup as D
 from .operators import inference as INF
-from .operators.graph import dup_clusters, pagerank, pagerank_step
+from .operators.graph import (
+    connected_components,
+    dup_clusters,
+    pagerank,
+    pagerank_step,
+)
 from .operators import index as IX
 from .operators import similarity as S
 from .operators import sketch as SK
@@ -1465,14 +1470,88 @@ def q_gr2_pagerank(spark, sf_dir):
     return r.select("node", F.round("rank", 9).alias("pagerank"))
 
 
-def _pagerank_oracle_sql(iters: int, damping: float = 0.85) -> str:
+def q_gr3_pagerank_dangling(spark, sf_dir):
+    """Mass-conserving PageRank (operators/graph.pagerank with
+    dangling=True, 5 power iterations) over the lg1 host graph — the
+    form that is CORRECT on sink-heavy real web graphs: each round
+    redistributes the dangling (no-outlink) nodes' rank d·D_t/N, so
+    total rank sums to exactly 1 every iteration instead of leaking
+    (gr2 pins the leaking textbook recurrence; this pins the conserving
+    one). The sink set is one node-sized anti-join computed once; per
+    round D_t is a semi-join + 1-row broadcast aggregate — no extra
+    corpus-scale shuffle vs gr2. Oracle: the same unrolled CTE with a
+    per-round dangling-sum term, D_t quantized to 12 decimals in both
+    engines (float-summation-order independence)."""
+    edges = q_lg1_link_extract(spark, sf_dir)
+    r = pagerank(
+        edges,
+        "src_host",
+        "dst_host",
+        weight="n_links",
+        iters=_PR_ITERS,
+        dangling=True,
+    )
+    return r.select("node", F.round("rank", 9).alias("pagerank"))
+
+
+def q_d12_cc_star(spark, sf_dir):
+    """Duplicate-cluster closure via alternating large-star/small-star
+    (Kiveris et al. SoCC'14; operators/graph.connected_components with
+    algorithm="star") over the same MinHash-LSH verified pair graph as
+    d6 — the O(log² n)-round variant that stays fast on adversarial
+    long-chain graphs where d6's min-label propagation needs
+    O(diameter) rounds (tests/test_graph.py pins the round-count
+    separation on a 200-node path). Output contract and oracle are
+    identical to d6: the labelling is the same component-minimum
+    election, so the recursive-CTE oracle checks BOTH algorithms
+    value-exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, "doc_id", "text", threshold=0.5, n_bands=8, rows_per_band=2, k=8
+    )
+    cc = connected_components(
+        pairs.select("id_a", "id_b"), "id_a", "id_b", algorithm="star"
+    )
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+def _pagerank_oracle_sql(
+    iters: int, damping: float = 0.85, dangling: bool = False
+) -> str:
     """Unrolled-CTE DuckDB twin of operators/graph.pagerank over the
     lg1 host graph: r_{t+1}(v) = (1-d)/N + d·Σ P(u,v)·r_t(u). The
     teleport constant is emitted as the exact repr of the Python double
-    ``1.0 - damping`` so both engines fold the identical IEEE value."""
+    ``1.0 - damping`` so both engines fold the identical IEEE value.
+    ``dangling=True`` mirrors pagerank(dangling=True): each round adds
+    d·D_t/N where D_t = Σ rank over sink nodes, quantized to 12
+    decimals in both engines so the match can't hinge on float
+    summation order."""
     one_minus_d = repr(1.0 - damping)
     rounds = []
     for t in range(1, iters + 1):
+        if dangling:
+            rounds.append(f"""
+        d{t} AS (
+          SELECT round(coalesce(sum(rank), 0), 12) AS dm
+          FROM r{t - 1}
+          WHERE node NOT IN (SELECT src FROM outw)
+        ),
+        r{t} AS (
+          SELECT node,
+                 CAST({one_minus_d} AS DOUBLE) / nn.n
+                   + {damping} * (coalesce(c.cin, 0) + d{t}.dm / nn.n)
+                     AS rank
+          FROM nodes CROSS JOIN nn CROSS JOIN d{t}
+          LEFT JOIN (
+            SELECT dst, sum(p * rank) AS cin
+            FROM pe JOIN r{t - 1} ON r{t - 1}.node = pe.src GROUP BY 1
+          ) c ON c.dst = nodes.node
+        )""")
+            continue
         rounds.append(f"""
         r{t} AS (
           SELECT node,
@@ -2305,6 +2384,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lg1_link_extract": q_lg1_link_extract,
     "gr1_pagerank_step": q_gr1_pagerank_step,
     "gr2_pagerank": q_gr2_pagerank,
+    # mass-conserving PageRank (dangling redistribution) + star CC
+    "gr3_pagerank_dangling": q_gr3_pagerank_dangling,
+    "d12_cc_star": q_d12_cc_star,
     "fr1_frontier": q_fr1_frontier,
     "d11_edit_distance": q_d11_edit_distance,
     # training-data plumbing: classifier inference, shard shuffle,
@@ -3136,6 +3218,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM nodes CROSS JOIN nn LEFT JOIN contrib c ON c.dst = nodes.node
     """,
     "gr2_pagerank": _pagerank_oracle_sql(_PR_ITERS),
+    "gr3_pagerank_dangling": _pagerank_oracle_sql(_PR_ITERS, dangling=True),
     "fr1_frontier": f"""
         WITH a AS (
           SELECT doc_id, {_URL_SQL} AS url, {_ANCHORS_SQL} AS anchors
@@ -3579,3 +3662,8 @@ ORACLE_SQL: dict[str, str] = {
         SELECT * FROM chg
     """,
 }
+
+# d12 produces the identical labelling as d6 (same pair graph, same
+# component-minimum contract) via a different distributed algorithm —
+# one recursive-CTE oracle checks both.
+ORACLE_SQL["d12_cc_star"] = ORACLE_SQL["d6_dup_clusters"]
