@@ -1519,6 +1519,25 @@ def q_d12_cc_star(spark, sf_dir):
     )
 
 
+def q_d13_substring_spans(spark, sf_dir):
+    """Exact any-offset duplicate spans with positions
+    (operators/dedup.exact_substring_spans): every maximal word-aligned
+    substring of ≥ 12 words shared verbatim by a doc pair, with its
+    0-based start offset in each — the Lee et al. ACL'22
+    exact-substring granularity that d7's fixed tiles approximate
+    (a span straddling a tile boundary is invisible to d7; it is exact
+    here). Stride-1 word 8-grams, boilerplate cap 20 before the
+    self-join, gaps-and-islands run merge on the alignment diagonal.
+    Join key is the gram STRING (collision-free ⇒ exact, no verify
+    pass); at 100 TB dictionary-encode via xxhash64 + per-bucket string
+    recheck. Oracle: the same grams/cap/pairs/islands staged as DuckDB
+    CTEs."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_substring_spans(
+        d, "doc_id", "text", k=8, min_len=12, max_docs_per_gram=20
+    )
+
+
 def _pagerank_oracle_sql(
     iters: int, damping: float = 0.85, dangling: bool = False
 ) -> str:
@@ -2387,6 +2406,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # mass-conserving PageRank (dangling redistribution) + star CC
     "gr3_pagerank_dangling": q_gr3_pagerank_dangling,
     "d12_cc_star": q_d12_cc_star,
+    "d13_substring_spans": q_d13_substring_spans,
     "fr1_frontier": q_fr1_frontier,
     "d11_edit_distance": q_d11_edit_distance,
     # training-data plumbing: classifier inference, shard shuffle,
@@ -3667,3 +3687,49 @@ ORACLE_SQL: dict[str, str] = {
 # component-minimum contract) via a different distributed algorithm —
 # one recursive-CTE oracle checks both.
 ORACLE_SQL["d12_cc_star"] = ORACLE_SQL["d6_dup_clusters"]
+
+# d13: staged-CTE twin of operators/dedup.exact_substring_spans —
+# stride-1 word 8-grams (0-based pos), doc-frequency cap, pair join on
+# the gram string, gaps-and-islands run merge on the alignment diagonal
+# (within a (a, b, diag) group each pos_a occurs once, so
+# pos_a - row_number() labels maximal consecutive runs).
+ORACLE_SQL["d13_substring_spans"] = """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    gsrc AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(w) - 8 + 2, 1)))::BIGINT AS i,
+             w
+      FROM words
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(w[i : i + 8 - 1], ' ') AS gram
+      FROM gsrc
+    ),
+    keep AS (
+      SELECT gram FROM g
+      GROUP BY gram HAVING count(DISTINCT doc_id) BETWEEN 2 AND 20
+    ),
+    gk AS (SELECT g.* FROM g JOIN keep USING (gram)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+      FROM gk a JOIN gk b USING (gram)
+      WHERE a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, diag, pos_a, pos_b,
+             pos_a - row_number() OVER (
+               PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+             ) AS island
+      FROM pairs
+    )
+    SELECT doc_a, doc_b,
+           min(pos_a) AS a_start, min(pos_b) AS b_start,
+           (count(*) + 8 - 1)::BIGINT AS span_words
+    FROM runs
+    GROUP BY doc_a, doc_b, diag, island
+    HAVING (count(*) + 8 - 1) >= 12
+"""

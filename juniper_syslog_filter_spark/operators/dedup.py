@@ -44,6 +44,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -891,4 +892,95 @@ def winnow_overlap_pairs(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_len: int = 12,
+    max_docs_per_gram: int = 20,
+) -> DataFrame:
+    """Exact any-offset duplicate-span detection (the Lee et al.
+    ACL'22 "exact substring" granularity): for every unordered doc pair,
+    every maximal word-aligned span of ≥ ``min_len`` words that appears
+    verbatim in both docs, with its exact start offset in each. Unlike
+    :func:`passage_dup_stats` (non-overlapping tiles — misses spans that
+    straddle a tile boundary) and :func:`winnow_overlap_pairs`
+    (approximate, no positions), this recovers every shared substring of
+    ≥ ``k`` words at ANY offset, exactly, with positions.
+
+    Dataflow (the distributed stand-in for Lee et al.'s single-machine
+    suffix array): stride-1 word ``k``-grams per doc (map-only explode,
+    n−k+1 grams per n-word doc) → gram-frequency cap BEFORE the
+    self-join (grams in > ``max_docs_per_gram`` docs are boilerplate and
+    contribute O(n²) join rows with no span signal; singletons carry no
+    pair — both dropped, mirroring :func:`winnow_overlap_pairs`) →
+    self-join on the gram → merge runs of consecutive matches into
+    maximal spans. Two grams from docs (a, b) lie on the same shared
+    substring iff they sit on the same alignment diagonal
+    ``pos_a − pos_b``; within a (a, b, diagonal) group each ``pos_a``
+    occurs at most once (``pos_b`` is determined), so the classic
+    gaps-and-islands trick — ``pos_a − row_number()`` — labels maximal
+    runs, and a run of c consecutive grams certifies a verbatim span of
+    ``c + k − 1`` words (overlapping k-gram equality composes).
+
+    Scale: one gram-keyed shuffle chain (count → cap-join → pair-join,
+    same partitioning reused), then one window + partial-agg shuffle
+    sized to the MATCH set, never the corpus. Join keys here are the
+    gram strings themselves — collision-free, hence "exact" with no
+    verify pass; at 100 TB dictionary-encode first (xxhash64(gram) with
+    a per-bucket string recheck, as the MinHash verify pass above) so
+    the shuffle ships 8-byte keys. Output: ``(doc_a, doc_b, a_start,
+    b_start, span_words)``, 0-based word offsets.
+    """
+    ws = F.split(F.col(text_col), " ")
+    grams = (
+        df.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+        .where(F.size("ws") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - k + 1),
+                    lambda i: F.array_join(F.slice(F.col("ws"), i, k), " "),
+                )
+            ).alias("p", "gram"),
+        )
+        .select("doc_id", F.col("p").cast("long").alias("pos"), "gram")
+    )
+    keep = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_docs_per_gram))
+        .select("gram")
+    )
+    g = grams.join(keep, "gram")
+    a, b = g.alias("a"), g.alias("b")
+    pairs = (
+        a.join(b, "gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.pos").alias("pos_b"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = pairs.withColumn(
+        "island", F.col("pos_a") - F.row_number().over(win)
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").alias("a_start"),
+            F.min("pos_b").alias("b_start"),
+            (F.count(F.lit(1)) + k - 1).cast("long").alias("span_words"),
+        )
+        .filter(F.col("span_words") >= min_len)
+        .select("doc_a", "doc_b", "a_start", "b_start", "span_words")
     )

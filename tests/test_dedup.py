@@ -185,3 +185,128 @@ def test_incremental_lsh_equals_full_run_restricted_to_batch(spark):
     assert expect, "fixture must produce candidate pairs"
     # the 8-doc spam bucket must have been capped out on both paths
     assert not any(a >= 100 and b >= 100 for a, b in got)
+
+
+# ---------------------------------------------------------------------------
+# exact_substring_spans — any-offset exact duplicate spans (Lee et al.
+# ACL'22 granularity; the case d7's fixed tiles structurally miss)
+# ---------------------------------------------------------------------------
+
+
+def _spans_brute(docs, k=8, min_len=12, cap=20):
+    """Driver-local oracle: enumerate all word k-grams, apply the
+    doc-frequency cap, intersect per pair on the alignment diagonal,
+    merge consecutive runs — same semantics, no Spark."""
+    from collections import defaultdict
+
+    grams = defaultdict(list)  # gram -> [(doc, pos)]
+    for doc_id, text in docs:
+        w = text.split(" ")
+        for i in range(len(w) - k + 1):
+            grams[" ".join(w[i : i + k])].append((doc_id, i))
+    out = set()
+    pair_hits = defaultdict(list)  # (a, b, diag) -> [pos_a]
+    for occ in grams.values():
+        if not 2 <= len({d for d, _ in occ}) <= cap:
+            continue
+        for ai, (da, pa) in enumerate(occ):
+            for db, pb in occ[ai + 1 :]:
+                if da == db:
+                    continue
+                a, b = (da, db) if da < db else (db, da)
+                x, y = (pa, pb) if da < db else (pb, pa)
+                pair_hits[(a, b, x - y)].append(x)
+    for (a, b, diag), xs in pair_hits.items():
+        xs = sorted(set(xs))
+        run = [xs[0]]
+        for x in xs[1:]:
+            if x == run[-1] + 1:
+                run.append(x)
+            else:
+                if len(run) + k - 1 >= min_len:
+                    out.add((a, b, run[0], run[0] - diag, len(run) + k - 1))
+                run = [x]
+        if len(run) + k - 1 >= min_len:
+            out.add((a, b, run[0], run[0] - diag, len(run) + k - 1))
+    return out
+
+
+SPAN_DOCS = [
+    # 30-word docs sharing a verbatim 14-word run at DIFFERENT offsets
+    # (3 in doc 1, 9 in doc 2) — invisible to fixed 10-word tiles when
+    # it straddles a tile boundary, exact here.
+    (
+        1,
+        "alpha beta gamma the shared fourteen word span sits right here in "
+        "the middle of this document delta epsilon zeta eta theta iota "
+        "kappa lam mu nu xi omicron pi",
+    ),
+    (
+        2,
+        "one two three four five six seven eight nine the shared fourteen "
+        "word span sits right here in the middle of this document rho "
+        "sigma tau upsilon phi chi",
+    ),
+    # unrelated doc
+    (3, "totally different words nothing in common with the others at all "
+        "padding padding2 padding3 padding4 padding5 padding6 padding7"),
+]
+
+
+def test_substring_spans_match_brute_force(spark):
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id int, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_words)
+        for r in D.exact_substring_spans(
+            df, "doc_id", "text", k=8, min_len=12
+        ).collect()
+    }
+    want = _spans_brute(SPAN_DOCS, k=8, min_len=12)
+    assert got == want
+    assert (1, 2, 3, 9, 14) in got, "the straddling span must be found exactly"
+
+
+def test_substring_spans_straddle_invisible_to_tiles(spark):
+    """The same 14-word shared run crosses d7's 10-word tile boundary at
+    mismatched phases, so passage_dup_stats reports no duplicate tile —
+    exact_substring_spans is the only operator that sees it."""
+    df = spark.createDataFrame(SPAN_DOCS, "doc_id int, text string")
+    tiles = D.passage_dup_stats(df, "doc_id", "text", window=10)
+    assert tiles.filter(F.col("n_dup") > 0).count() == 0
+    spans = D.exact_substring_spans(df, "doc_id", "text", k=8, min_len=12)
+    assert spans.count() == 1
+
+
+def test_substring_spans_multiple_islands_and_min_len(spark):
+    """Two disjoint shared runs on different diagonals -> two span rows;
+    a shared run shorter than min_len is filtered."""
+    base = [f"w{i}" for i in range(12)]          # 12-word run A
+    short = [f"s{i}" for i in range(9)]          # 9-word run (< min_len)
+    docs = [
+        (1, " ".join(base + ["fillA1", "fillA2"] + short + ["tailA"])),
+        (2, " ".join(["padB1", "padB2", "padB3"] + base + ["fillB"] + short)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_words)
+        for r in D.exact_substring_spans(
+            df, "doc_id", "text", k=8, min_len=12
+        ).collect()
+    }
+    assert got == _spans_brute(docs, k=8, min_len=12) == {(1, 2, 0, 3, 12)}
+
+
+def test_substring_spans_boilerplate_cap(spark):
+    """A gram shared by > max_docs_per_gram docs is boilerplate: capped
+    out before the self-join, so no pair rows survive from it."""
+    boiler = " ".join(f"b{i}" for i in range(14))
+    docs = [(i, f"u{i}x u{i}y " + boiler) for i in range(1, 6)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    capped = D.exact_substring_spans(
+        df, "doc_id", "text", k=8, min_len=12, max_docs_per_gram=3
+    )
+    assert capped.count() == 0
+    uncapped = D.exact_substring_spans(
+        df, "doc_id", "text", k=8, min_len=12, max_docs_per_gram=20
+    )
+    assert uncapped.count() == 10  # C(5,2) pairs, one span each

@@ -319,3 +319,25 @@ def test_bloom_probe_corpus_never_shuffles(spark):
     # it is the probe-side lineage in the string rendering.
     probe_branch = plan.split("BroadcastNestedLoopJoin")[0]
     assert not re.search(r"(?<!Broadcast)Exchange\b", probe_branch), plan[:2000]
+
+
+def test_substring_spans_one_window_no_cartesian(spark):
+    """d13: the pair join is gram-keyed (hash join, never a cartesian /
+    nested loop), the only Window exchange is (doc_a, doc_b, diag), and
+    the final span aggregate reuses that partitioning — grouping keys
+    (doc_a, doc_b, diag, island) are a superset, so zero extra
+    Exchanges after the window."""
+    plan = _plan(QUERIES["d13_substring_spans"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window ") == 1
+    # exactly one exchange on the pair key, none between it and the agg
+    import re
+
+    pair_ex = [
+        ln for ln in plan.splitlines()
+        if re.search(r"Exchange hashpartitioning\(doc_a", ln)
+    ]
+    assert len(pair_ex) == 1, plan[:2000]
+    # min_len filter sits above the partial agg, not post-collect
+    assert "span_words" in plan
