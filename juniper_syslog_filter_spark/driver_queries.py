@@ -505,6 +505,46 @@ def q_a3_percentiles(spark, sf_dir):
     )
 
 
+def q_a7_approx_percentiles(spark, sf_dir):
+    """The 100-TB scale path a3's docstring names: mergeable
+    approx_percentile sketches (Spark: Greenwald–Khanna
+    QuantileSummaries; map-side combinable like a t-digest) instead of
+    the exact per-group sort. Approx values are engine-specific, so the
+    oracle checks a rank-error CERTIFICATE instead of the value: the
+    sketch guarantees the returned element's rank is within
+    ``err·n = n/accuracy`` of ``q·n``; we join the (5-row) sketch
+    output back to events broadcast and count ``value < approx`` /
+    ``value <= approx`` — the element's rank interval is
+    ``[n_lt+1, n_le]``, and ``ok`` asserts it overlaps
+    ``[q·n − err·n − 1, q·n + err·n + 1]`` (±1 element of float-slack).
+    Exact p50/p95 ride along as the value-exact columns, so the query
+    still pins real numbers. Two group-sized shuffles, one broadcast —
+    the corpus is scanned twice but never shuffled wide."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    acc = 10000
+    ap = ev.groupBy("event_type").agg(
+        F.expr(f"approx_percentile(value, 0.5, {acc})").alias("_a50"),
+        F.expr(f"approx_percentile(value, 0.95, {acc})").alias("_a95"),
+    )
+    j = ev.join(F.broadcast(ap), "event_type")
+
+    def _rank_ok(a: str, q: float):
+        n = F.count(F.lit(1)).cast("double")
+        lt = F.sum((F.col("value") < F.col(a)).cast("long")).cast("double")
+        le = F.sum((F.col("value") <= F.col(a)).cast("long")).cast("double")
+        err = F.lit(1.0 / acc) * n
+        target = F.lit(q) * n
+        return (lt + 1 <= target + err + 1) & (le >= target - err - 1)
+
+    return j.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+        _rank_ok("_a50", 0.5).alias("ok50"),
+        _rank_ok("_a95", 0.95).alias("ok95"),
+    )
+
+
 def q_j3_semi_anti(spark, sf_dir):
     """LEFT SEMI + LEFT ANTI joins (EXISTS / NOT EXISTS): customers
     flagged by whether they have any order. Both plan to a single-column
@@ -2349,6 +2389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t8_word_repetition": q_t8_word_repetition,
     "a2_rollup": q_a2_rollup,
     "a3_percentiles": q_a3_percentiles,
+    "a7_approx_percentiles": q_a7_approx_percentiles,
     "j3_semi_anti": q_j3_semi_anti,
     "s5_semantic_dedup": q_s5_semantic_dedup,
     "pk1_sequence_packing": q_pk1_sequence_packing,
@@ -2844,6 +2885,17 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_type,
                round(quantile_cont(value, 0.5), 6) AS p50,
                round(quantile_cont(value, 0.95), 6) AS p95
+        FROM events GROUP BY event_type
+    """,
+    # a7: approx values are engine-specific; the oracle pins the exact
+    # percentiles and asserts the rank-error certificates are TRUE —
+    # the GK guarantee restated as data, not a cross-engine float race.
+    "a7_approx_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.95), 6) AS p95,
+               count(*) AS n,
+               TRUE AS ok50, TRUE AS ok95
         FROM events GROUP BY event_type
     """,
     "j3_semi_anti": """

@@ -1020,3 +1020,58 @@ def test_bloom_probe_is_map_side(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     probe_branch = plan.split("BroadcastNestedLoopJoin")[0]
     assert not re.search(r"(?<!Broadcast)Exchange\b", probe_branch), plan[:2000]
+
+
+def test_a7_rank_certificate_on_skewed_values(spark):
+    """a7's rank-error certificate must hold on an adversarially skewed
+    distribution (99 zeros + a huge outlier per group) where a
+    value-tolerance check would be meaningless — the certificate is
+    rank-based, so skew cannot break it. Also pins exact p50/p95
+    against numpy's linear interpolation (quantile_cont)."""
+    import numpy as np
+
+    from juniper_syslog_filter_spark.driver_queries import (
+        q_a7_approx_percentiles,
+    )
+
+    rows = [("spike", 0.0)] * 99 + [("spike", 1e12)]
+    rows += [("flat", float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    df.createOrReplaceTempView("_a7_src")
+
+    import juniper_syslog_filter_spark.driver_queries as dq
+
+    orig = dq.load_table
+    dq.load_table = lambda s, d, t: df  # the query only reads events
+    try:
+        out = {r.event_type: r for r in q_a7_approx_percentiles(spark, "").collect()}
+    finally:
+        dq.load_table = orig
+
+    assert out["spike"].ok50 and out["spike"].ok95
+    assert out["flat"].ok50 and out["flat"].ok95
+    spike_vals = np.array([0.0] * 99 + [1e12])
+    assert out["spike"].p50 == round(float(np.quantile(spike_vals, 0.5)), 6)
+    assert out["spike"].p95 == round(float(np.quantile(spike_vals, 0.95)), 6)
+    assert out["flat"].n == 50
+
+
+def test_a7_certificate_rejects_wrong_rank(spark):
+    """The certificate is falsifiable: an 'approx' value planted far
+    from the target rank must flip ok to False (guards against the
+    certificate being a tautology)."""
+    from pyspark.sql import functions as F
+
+    n, acc, q = 1000, 10000, 0.5
+    ev = spark.range(n).select(F.col("id").cast("double").alias("value"))
+    # plant the minimum as the claimed p50 — rank 1, target rank 500
+    planted = ev.agg(F.min("value").alias("_a"))
+    j = ev.crossJoin(F.broadcast(planted))
+    row = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum((F.col("value") < F.col("_a")).cast("long")).cast("double").alias("lt"),
+        F.sum((F.col("value") <= F.col("_a")).cast("long")).cast("double").alias("le"),
+    ).collect()[0]
+    err, target = n / acc, q * n
+    ok = (row.lt + 1 <= target + err + 1) and (row.le >= target - err - 1)
+    assert not ok
