@@ -902,6 +902,7 @@ def exact_substring_spans(
     k: int = 8,
     min_len: int = 12,
     max_docs_per_gram: int = 20,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Exact any-offset duplicate-span detection (the Lee et al.
     ACL'22 "exact substring" granularity): for every unordered doc pair,
@@ -929,12 +930,20 @@ def exact_substring_spans(
 
     Scale: one gram-keyed shuffle chain (count → cap-join → pair-join,
     same partitioning reused), then one window + partial-agg shuffle
-    sized to the MATCH set, never the corpus. Join keys here are the
-    gram strings themselves — collision-free, hence "exact" with no
-    verify pass; at 100 TB dictionary-encode first (xxhash64(gram) with
-    a per-bucket string recheck, as the MinHash verify pass above) so
-    the shuffle ships 8-byte keys. Output: ``(doc_a, doc_b, a_start,
-    b_start, span_words)``, 0-based word offsets.
+    sized to the MATCH set, never the corpus. With the default
+    ``hash_grams=False`` the join keys are the gram strings themselves
+    — collision-free, hence "exact" with no verify pass — and a
+    ~50-byte key crosses every shuffle. ``hash_grams=True`` is the
+    100-TB form: each gram is dictionary-encoded to a 128-bit key (two
+    independent ``xxhash64`` lanes) BEFORE any shuffle, so the df
+    census, the cap join, and the pair self-join all ship 16-byte
+    fixed-width keys; correctness is a collision bound rather than a
+    recheck — at 10¹³ corpus grams the expected number of colliding
+    128-bit pairs is ≈ (10¹³)²/2 · 2⁻¹²⁸ ≈ 10⁻¹³, and a collision can
+    only ADD a spurious k-gram match on one diagonal (never drop a real
+    one), so both variants are pinned equal by pytest. Output:
+    ``(doc_a, doc_b, a_start, b_start, span_words)``, 0-based word
+    offsets.
     """
     ws = F.split(F.col(text_col), " ")
     grams = (
@@ -951,6 +960,17 @@ def exact_substring_spans(
         )
         .select("doc_id", F.col("p").cast("long").alias("pos"), "gram")
     )
+    if hash_grams:
+        # encode once, before any shuffle; the string never leaves the
+        # scan stage
+        grams = grams.select(
+            "doc_id",
+            "pos",
+            F.struct(
+                F.xxhash64("gram").alias("h1"),
+                F.xxhash64("gram", F.lit("jsf:gram2")).alias("h2"),
+            ).alias("gram"),
+        )
     keep = (
         grams.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("_df"))
