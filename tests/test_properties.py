@@ -251,3 +251,32 @@ def test_salted_join_matches_plain_join(spark, rows, n_salts):
     )
     want = sorted(map(tuple, fact.join(dim, "k").collect()))
     assert got == want
+
+
+# -- exact_substring_spans vs brute force -----------------------------------
+
+# Tiny vocabulary maximizes shared k-grams and within-doc gram repeats —
+# the adversarial regime for the diagonal run-merge (repeated grams hit
+# multiple diagonals; runs abut and must not merge across gaps).
+_span_word = st.sampled_from(["a", "b", "c", "dd"])
+_span_doc = st.lists(_span_word, min_size=0, max_size=24).map(" ".join)
+
+
+@given(docs=st.lists(_span_doc, min_size=2, max_size=5))
+@settings(**SETTINGS)
+def test_substring_spans_property(spark, docs):
+    from tests.test_dedup import _spans_brute
+    from juniper_syslog_filter_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    k, min_len, cap = 3, 4, 3
+    got = {
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_words)
+        for r in exact_substring_spans(
+            df, "doc_id", "text", k=k, min_len=min_len, max_docs_per_gram=cap
+        ).collect()
+    }
+    assert got == _spans_brute(rows, k=k, min_len=min_len, cap=cap)
