@@ -1578,6 +1578,26 @@ def q_d13_substring_spans(spark, sf_dir):
     )
 
 
+def q_d14_within_doc_repeats(spark, sf_dir):
+    """Within-document repeated spans
+    (operators/dedup.within_doc_repeated_spans): every maximal
+    word-aligned span of ≥ 10 words occurring at two positions INSIDE
+    one document — the self-repetition half of exact-substring dedup
+    (templated sections, paste-twice boilerplate) that d13's cross-doc
+    form doesn't cover. Stride-1 word 2-grams, min span 3 words,
+    per-(doc,gram) occurrence cap 20, gaps-and-islands on the offset
+    delta. k/min_len are tuned DOWN for the synthetic fixture (its
+    docs repeat only short phrases — k=5/min_len=10 yields zero rows
+    corpus-wide, a vacuous oracle); production boilerplate removal
+    runs the same operator at k=8/min_len=12 — a parameter choice, not
+    a semantics change (tests/test_dedup.py exercises the long-span
+    regime). Oracle: the same stages as DuckDB CTEs."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.within_doc_repeated_spans(
+        d, "doc_id", "text", k=2, min_len=3, max_occ_per_doc=20
+    )
+
+
 def _pagerank_oracle_sql(
     iters: int, damping: float = 0.85, dangling: bool = False
 ) -> str:
@@ -2448,6 +2468,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gr3_pagerank_dangling": q_gr3_pagerank_dangling,
     "d12_cc_star": q_d12_cc_star,
     "d13_substring_spans": q_d13_substring_spans,
+    "d14_within_doc_repeats": q_d14_within_doc_repeats,
     "fr1_frontier": q_fr1_frontier,
     "d11_edit_distance": q_d11_edit_distance,
     # training-data plumbing: classifier inference, shard shuffle,
@@ -3784,4 +3805,48 @@ ORACLE_SQL["d13_substring_spans"] = """
     FROM runs
     GROUP BY doc_a, doc_b, diag, island
     HAVING (count(*) + 8 - 1) >= 12
+"""
+
+# d14: staged-CTE twin of operators/dedup.within_doc_repeated_spans —
+# doc-local stride-1 word 5-grams, per-(doc,gram) occurrence cap,
+# self-join restricted to pos_a < pos_b, islands on the offset delta.
+ORACLE_SQL["d14_within_doc_repeats"] = """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    gsrc AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(w) - 2 + 2, 1)))::BIGINT AS i,
+             w
+      FROM words
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(w[i : i + 2 - 1], ' ') AS gram
+      FROM gsrc
+    ),
+    keep AS (
+      SELECT doc_id, gram FROM g
+      GROUP BY doc_id, gram HAVING count(*) BETWEEN 2 AND 20
+    ),
+    gk AS (SELECT g.* FROM g JOIN keep USING (doc_id, gram)),
+    pairs AS (
+      SELECT a.doc_id,
+             a.pos AS pos_a, b.pos AS pos_b, b.pos - a.pos AS delta
+      FROM gk a JOIN gk b USING (doc_id, gram)
+      WHERE a.pos < b.pos
+    ),
+    runs AS (
+      SELECT doc_id, delta, pos_a, pos_b,
+             pos_a - row_number() OVER (
+               PARTITION BY doc_id, delta ORDER BY pos_a
+             ) AS island
+      FROM pairs
+    )
+    SELECT doc_id,
+           min(pos_a) AS a_start, min(pos_b) AS b_start,
+           (count(*) + 2 - 1)::BIGINT AS span_words
+    FROM runs
+    GROUP BY doc_id, delta, island
+    HAVING (count(*) + 2 - 1) >= 3
 """

@@ -1004,3 +1004,115 @@ def exact_substring_spans(
         .filter(F.col("span_words") >= min_len)
         .select("doc_a", "doc_b", "a_start", "b_start", "span_words")
     )
+
+
+def within_doc_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_len: int = 12,
+    max_occ_per_doc: int = 20,
+) -> DataFrame:
+    """Within-document repeated spans — the SELF-repetition half of the
+    Lee et al. ACL'22 exact-substring dedup that
+    :func:`exact_substring_spans` (cross-doc) does not cover: every
+    maximal word-aligned span of ≥ ``min_len`` words that occurs at two
+    positions INSIDE the same document (boilerplate paste-twice, looped
+    generation, templated sections), with both 0-based offsets.
+
+    Semantics: doc-local stride-1 ``k``-gram occurrence lists;
+    occurrences of one gram > ``max_occ_per_doc`` times in a doc
+    ("the the the…" pathologies, O(occ²) pair fan-out) are capped out;
+    two occurrences lie on the same repeat iff they share the offset
+    delta ``pos_b − pos_a`` (> 0), and consecutive gram matches per
+    (delta) merge into maximal spans of ``run + k − 1`` words.
+    Overlapping self-repeats (period < span, e.g. "a b a b a b") are
+    reported per delta — the exact-repeat semantics. The within-doc cap
+    is per-(doc,gram) OCCURRENCE count — a different predicate than the
+    cross-doc form's doc-frequency cap.
+
+    Dataflow — map-only, ZERO shuffle: unlike the cross-doc form
+    (whose gram table must meet itself across documents and therefore
+    shuffles on the gram), every byte this operator needs is already
+    co-located in the document row, so the whole computation is one
+    Arrow-batched ``mapInPandas`` kernel: per doc, a gram→positions
+    dict, the cap, and the diagonal run-merge in plain Python over the
+    batch. At 100 TB this is embarrassingly parallel — scan-speed,
+    no sort, no exchange, no skew surface (a declarative
+    window+self-join formulation was measured 4.8× slower cold and 2×
+    warm at sf0.1 — 81.5→16.9 s / 7.2→3.6 s — because it sorts a
+    corpus-sized exploded gram table that never needed to leave its
+    partition, a cost that grows with the corpus at 100 TB; plan
+    pinned join/window/hash-Exchange-free in tests/test_plans.py). Output: ``(doc_id, a_start, b_start,
+    span_words)`` with ``a_start < b_start``.
+    """
+    id_type = dict(df.dtypes)[id_col]
+    cap = max_occ_per_doc
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            a_st: list[int] = []
+            b_st: list[int] = []
+            spn: list[int] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                w = text.split(" ") if isinstance(text, str) else []
+                n = len(w)
+                if n < k:
+                    continue
+                occ: dict[tuple, list[int]] = {}
+                tw = tuple(w)
+                for i in range(n - k + 1):
+                    occ.setdefault(tw[i : i + k], []).append(i)
+                hits: dict[int, list[int]] = {}
+                for ps in occ.values():
+                    if not 2 <= len(ps) <= cap:
+                        continue
+                    for ai in range(len(ps) - 1):
+                        pa = ps[ai]
+                        for bi in range(ai + 1, len(ps)):
+                            hits.setdefault(ps[bi] - pa, []).append(pa)
+                for delta, xs in hits.items():
+                    xs = sorted(set(xs))
+                    start = prev = xs[0]
+                    run = 1
+                    for x in xs[1:]:
+                        if x == prev + 1:
+                            run += 1
+                            prev = x
+                        else:
+                            if run + k - 1 >= min_len:
+                                ids.append(doc_id)
+                                a_st.append(start)
+                                b_st.append(start + delta)
+                                spn.append(run + k - 1)
+                            start = prev = x
+                            run = 1
+                    if run + k - 1 >= min_len:
+                        ids.append(doc_id)
+                        a_st.append(start)
+                        b_st.append(start + delta)
+                        spn.append(run + k - 1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=object),
+                    "a_start": pd.Series(a_st, dtype="int64"),
+                    "b_start": pd.Series(b_st, dtype="int64"),
+                    "span_words": pd.Series(spn, dtype="int64"),
+                }
+            )
+
+    src = df.select(F.col(id_col), F.col(text_col))
+    # Same single-partition guard as minhash_doc_table: a small demo
+    # table read from one file must not serialize the kernel onto one
+    # core; at real scale the scan already has enough splits (no-op).
+    sc = df.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
+    return src.mapInPandas(
+        kernel,
+        schema=(
+            f"doc_id {id_type}, a_start long, b_start long, span_words long"
+        ),
+    )

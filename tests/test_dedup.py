@@ -331,3 +331,80 @@ def test_substring_spans_hashed_equals_string_keys(spark):
         D.exact_substring_spans(docs, "doc_id", "text", k=8, min_len=12, hash_grams=True)
     )
     assert hashed == base and base, "fixture must produce spans"
+
+
+def _within_brute(docs, k, min_len, cap):
+    """Driver-local oracle for within_doc_repeated_spans."""
+    from collections import defaultdict
+
+    out = set()
+    for doc_id, text in docs:
+        w = text.split(" ")
+        occ = defaultdict(list)
+        for i in range(len(w) - k + 1):
+            occ[" ".join(w[i : i + k])].append(i)
+        hits = defaultdict(list)  # delta -> [pos_a]
+        for ps in occ.values():
+            if not 2 <= len(ps) <= cap:
+                continue
+            for ai, pa in enumerate(ps):
+                for pb in ps[ai + 1 :]:
+                    hits[pb - pa].append(pa)
+        for delta, xs in hits.items():
+            xs = sorted(set(xs))
+            run = [xs[0]]
+            for x in xs[1:]:
+                if x == run[-1] + 1:
+                    run.append(x)
+                else:
+                    if len(run) + k - 1 >= min_len:
+                        out.add((doc_id, run[0], run[0] + delta, len(run) + k - 1))
+                    run = [x]
+            if len(run) + k - 1 >= min_len:
+                out.add((doc_id, run[0], run[0] + delta, len(run) + k - 1))
+    return out
+
+
+def test_within_doc_repeats_match_brute_force(spark):
+    docs = [
+        # 14-word block pasted twice with filler between (offsets 0, 17)
+        (1, " ".join([f"w{i}" for i in range(14)] + ["x", "y", "z"]
+                     + [f"w{i}" for i in range(14)])),
+        # periodic text "a b a b ..." — overlapping self-repeats per delta
+        (2, " ".join(["a", "b"] * 8)),
+        # no repeats
+        (3, " ".join(f"u{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r.doc_id, r.a_start, r.b_start, r.span_words)
+        for r in D.within_doc_repeated_spans(
+            df, "doc_id", "text", k=8, min_len=12
+        ).collect()
+    }
+    want = _within_brute(docs, k=8, min_len=12, cap=20)
+    assert got == want
+    assert (1, 0, 17, 14) in got
+    assert not any(d == 3 for d, *_ in got)
+
+
+def test_within_doc_repeats_occurrence_cap(spark):
+    """A gram repeated more than max_occ_per_doc times is a doc-local
+    pathology ('the the the …'): capped out, no pair fan-out."""
+    df = spark.createDataFrame(
+        [(1, " ".join(["t"] * 30))], "doc_id int, text string"
+    )
+    assert (
+        D.within_doc_repeated_spans(
+            df, "doc_id", "text", k=2, min_len=3, max_occ_per_doc=5
+        ).count()
+        == 0
+    )
+    uncapped = D.within_doc_repeated_spans(
+        df, "doc_id", "text", k=2, min_len=3, max_occ_per_doc=100
+    )
+    got = {
+        (r.doc_id, r.a_start, r.b_start, r.span_words)
+        for r in uncapped.collect()
+    }
+    assert got == _within_brute([(1, " ".join(["t"] * 30))], 2, 3, 100)

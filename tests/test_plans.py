@@ -341,3 +341,15 @@ def test_substring_spans_one_window_no_cartesian(spark):
     assert len(pair_ex) == 1, plan[:2000]
     # min_len filter sits above the partial agg, not post-collect
     assert "span_words" in plan
+
+
+def test_within_doc_repeats_is_map_only(spark):
+    """d14: every byte the operator needs is co-located in the document
+    row, so the plan must be one Arrow kernel over the scan — no join,
+    no window, no hash Exchange (the only allowed Exchange is the
+    demo-scale round-robin split guard, which is partitioning-neutral)."""
+    plan = _plan(QUERIES["d14_within_doc_repeats"](spark, SF))
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "hashpartitioning" not in plan
