@@ -1598,6 +1598,22 @@ def q_d14_within_doc_repeats(spark, sf_dir):
     )
 
 
+def q_d15_remove_repeats(spark, sf_dir):
+    """The removal ACTION over d14's detections
+    (operators/dedup.remove_within_doc_repeats): each doc's later
+    repeated-span occurrences are cut (positions [b_start,
+    b_start+span) dropped, overlaps unioned) and the doc re-joined —
+    one row per input doc with the deduped text and removed-word
+    count. Same fixture-tuned k=2/min_len=3 as d14 (see its
+    docstring); map-only fused detect+remove kernel, zero shuffle.
+    Oracle: d14's span CTEs extended with position-explode → anti-join
+    → ordered string_agg re-join."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.remove_within_doc_repeats(
+        d, "doc_id", "text", k=2, min_len=3, max_occ_per_doc=20
+    )
+
+
 def _pagerank_oracle_sql(
     iters: int, damping: float = 0.85, dangling: bool = False
 ) -> str:
@@ -2469,6 +2485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d12_cc_star": q_d12_cc_star,
     "d13_substring_spans": q_d13_substring_spans,
     "d14_within_doc_repeats": q_d14_within_doc_repeats,
+    "d15_remove_repeats": q_d15_remove_repeats,
     "fr1_frontier": q_fr1_frontier,
     "d11_edit_distance": q_d11_edit_distance,
     # training-data plumbing: classifier inference, shard shuffle,
@@ -3849,4 +3866,77 @@ ORACLE_SQL["d14_within_doc_repeats"] = """
     FROM runs
     GROUP BY doc_id, delta, island
     HAVING (count(*) + 2 - 1) >= 3
+"""
+
+# d15: d14's span CTEs + removal — positions of every later occurrence
+# explode to a per-doc drop set, surviving words re-join in order.
+ORACLE_SQL["d15_remove_repeats"] = """
+    WITH words AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+    ),
+    gsrc AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(w) - 2 + 2, 1)))::BIGINT AS i,
+             w
+      FROM words
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(w[i : i + 2 - 1], ' ') AS gram
+      FROM gsrc
+      WHERE i + 2 - 1 <= len(w)
+    ),
+    keep AS (
+      SELECT doc_id, gram FROM g
+      GROUP BY doc_id, gram HAVING count(*) BETWEEN 2 AND 20
+    ),
+    gk AS (SELECT g.* FROM g JOIN keep USING (doc_id, gram)),
+    pairs AS (
+      SELECT a.doc_id,
+             a.pos AS pos_a, b.pos AS pos_b, b.pos - a.pos AS delta
+      FROM gk a JOIN gk b USING (doc_id, gram)
+      WHERE a.pos < b.pos
+    ),
+    runs AS (
+      SELECT doc_id, delta, pos_a, pos_b,
+             pos_a - row_number() OVER (
+               PARTITION BY doc_id, delta ORDER BY pos_a
+             ) AS island
+      FROM pairs
+    ),
+    spans AS (
+      SELECT doc_id,
+             min(pos_b) AS b_start,
+             (count(*) + 2 - 1)::BIGINT AS span_words
+      FROM runs
+      GROUP BY doc_id, delta, island
+      HAVING (count(*) + 2 - 1) >= 3
+    ),
+    drop_pos AS (
+      SELECT DISTINCT doc_id,
+             unnest(range(b_start, b_start + span_words))::BIGINT AS pos
+      FROM spans
+    ),
+    wp AS (
+      SELECT doc_id, unnest(range(1, len(w) + 1))::BIGINT - 1 AS pos, w
+      FROM words
+    ),
+    kept AS (
+      SELECT wp.doc_id, wp.pos, wp.w[(wp.pos + 1)::INT] AS word
+      FROM wp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM drop_pos dp
+        WHERE dp.doc_id = wp.doc_id AND dp.pos = wp.pos
+      )
+    ),
+    agg AS (
+      SELECT doc_id,
+             string_agg(word, ' ' ORDER BY pos) AS text_deduped,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT words.doc_id,
+           coalesce(agg.text_deduped, '') AS text_deduped,
+           (len(words.w) - coalesce(agg.n_kept, 0))::BIGINT AS n_removed
+    FROM words LEFT JOIN agg USING (doc_id)
 """

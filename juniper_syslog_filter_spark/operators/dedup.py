@@ -1006,6 +1006,48 @@ def exact_substring_spans(
     )
 
 
+def _doc_repeat_spans(
+    text: str, k: int, min_len: int, cap: int
+) -> list[tuple[int, int, int]]:
+    """Doc-local core of :func:`within_doc_repeated_spans` /
+    :func:`remove_within_doc_repeats`: ``(a_start, b_start,
+    span_words)`` triples of maximal repeated spans in one document —
+    gram→positions dict, occurrence cap, diagonal run-merge."""
+    w = text.split(" ") if isinstance(text, str) else []
+    n = len(w)
+    if n < k:
+        return []
+    occ: dict[tuple, list[int]] = {}
+    tw = tuple(w)
+    for i in range(n - k + 1):
+        occ.setdefault(tw[i : i + k], []).append(i)
+    hits: dict[int, list[int]] = {}
+    for ps in occ.values():
+        if not 2 <= len(ps) <= cap:
+            continue
+        for ai in range(len(ps) - 1):
+            pa = ps[ai]
+            for bi in range(ai + 1, len(ps)):
+                hits.setdefault(ps[bi] - pa, []).append(pa)
+    out: list[tuple[int, int, int]] = []
+    for delta, xs in hits.items():
+        xs = sorted(set(xs))
+        start = prev = xs[0]
+        run = 1
+        for x in xs[1:]:
+            if x == prev + 1:
+                run += 1
+                prev = x
+            else:
+                if run + k - 1 >= min_len:
+                    out.append((start, start + delta, run + k - 1))
+                start = prev = x
+                run = 1
+        if run + k - 1 >= min_len:
+            out.append((start, start + delta, run + k - 1))
+    return out
+
+
 def within_doc_repeated_spans(
     df: DataFrame,
     id_col: str,
@@ -1057,43 +1099,13 @@ def within_doc_repeated_spans(
             b_st: list[int] = []
             spn: list[int] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                w = text.split(" ") if isinstance(text, str) else []
-                n = len(w)
-                if n < k:
-                    continue
-                occ: dict[tuple, list[int]] = {}
-                tw = tuple(w)
-                for i in range(n - k + 1):
-                    occ.setdefault(tw[i : i + k], []).append(i)
-                hits: dict[int, list[int]] = {}
-                for ps in occ.values():
-                    if not 2 <= len(ps) <= cap:
-                        continue
-                    for ai in range(len(ps) - 1):
-                        pa = ps[ai]
-                        for bi in range(ai + 1, len(ps)):
-                            hits.setdefault(ps[bi] - pa, []).append(pa)
-                for delta, xs in hits.items():
-                    xs = sorted(set(xs))
-                    start = prev = xs[0]
-                    run = 1
-                    for x in xs[1:]:
-                        if x == prev + 1:
-                            run += 1
-                            prev = x
-                        else:
-                            if run + k - 1 >= min_len:
-                                ids.append(doc_id)
-                                a_st.append(start)
-                                b_st.append(start + delta)
-                                spn.append(run + k - 1)
-                            start = prev = x
-                            run = 1
-                    if run + k - 1 >= min_len:
-                        ids.append(doc_id)
-                        a_st.append(start)
-                        b_st.append(start + delta)
-                        spn.append(run + k - 1)
+                for start, bstart, span in _doc_repeat_spans(
+                    text, k, min_len, cap
+                ):
+                    ids.append(doc_id)
+                    a_st.append(start)
+                    b_st.append(bstart)
+                    spn.append(span)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype=object),
@@ -1115,4 +1127,69 @@ def within_doc_repeated_spans(
         schema=(
             f"doc_id {id_type}, a_start long, b_start long, span_words long"
         ),
+    )
+
+
+def remove_within_doc_repeats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_len: int = 12,
+    max_occ_per_doc: int = 20,
+) -> DataFrame:
+    """The REMOVAL action over :func:`within_doc_repeated_spans`'s
+    detections — what a training-data pipeline actually applies: for
+    every detected repeated span, the LATER occurrence's words
+    (positions ``[b_start, b_start + span)``) are dropped and the doc
+    is re-joined; the earlier occurrence survives (Lee et al. ACL'22's
+    cut-the-later-copy convention). Overlapping spans union their
+    removal positions, so a word is dropped once no matter how many
+    repeats cover it.
+
+    Same map-only zero-shuffle dataflow as the detector (everything is
+    doc-local), detection + removal fused into ONE kernel pass — the
+    spans never materialize as rows, so there is no join of spans back
+    to the corpus. Output: ``(doc_id, text_deduped, n_removed)`` —
+    one row per input doc (docs with no repeats pass through with
+    ``n_removed = 0``).
+    """
+    id_type = dict(df.dtypes)[id_col]
+    cap = max_occ_per_doc
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            txt: list[str] = []
+            nrm: list[int] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                spans = _doc_repeat_spans(text, k, min_len, cap)
+                if not spans:
+                    ids.append(doc_id)
+                    txt.append(text if isinstance(text, str) else "")
+                    nrm.append(0)
+                    continue
+                drop: set[int] = set()
+                for _a, b, span in spans:
+                    drop.update(range(b, b + span))
+                w = text.split(" ")
+                kept = [t for i, t in enumerate(w) if i not in drop]
+                ids.append(doc_id)
+                txt.append(" ".join(kept))
+                nrm.append(len(w) - len(kept))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype=object),
+                    "text_deduped": pd.Series(txt, dtype=object),
+                    "n_removed": pd.Series(nrm, dtype="int64"),
+                }
+            )
+
+    src = df.select(F.col(id_col), F.col(text_col))
+    sc = df.sparkSession.sparkContext
+    if src.rdd.getNumPartitions() < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism)
+    return src.mapInPandas(
+        kernel,
+        schema=f"doc_id {id_type}, text_deduped string, n_removed long",
     )

@@ -408,3 +408,32 @@ def test_within_doc_repeats_occurrence_cap(spark):
         for r in uncapped.collect()
     }
     assert got == _within_brute([(1, " ".join(["t"] * 30))], 2, 3, 100)
+
+
+def test_remove_within_doc_repeats(spark):
+    """Removal action: later occurrence cut, earlier kept; overlapping
+    spans union; clean docs pass through untouched."""
+    block = [f"w{i}" for i in range(14)]
+    docs = [
+        (1, " ".join(block + ["x", "y", "z"] + block)),
+        (2, " ".join(f"u{i}" for i in range(20))),  # no repeats
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.text_deduped, r.n_removed)
+        for r in D.remove_within_doc_repeats(
+            df, "doc_id", "text", k=8, min_len=12
+        ).collect()
+    }
+    # doc 1: the second 14-word block (positions 17..30) is dropped
+    assert got[1] == (" ".join(block + ["x", "y", "z"]), 14)
+    assert got[2] == (docs[1][1], 0)
+    # consistency with the detector: removed words == union of b-spans
+    spans = D.within_doc_repeated_spans(
+        df, "doc_id", "text", k=8, min_len=12
+    ).collect()
+    drop = set()
+    for r in spans:
+        assert r.doc_id == 1
+        drop.update(range(r.b_start, r.b_start + r.span_words))
+    assert len(drop) == got[1][1]
