@@ -978,6 +978,82 @@ def q_z1_zip_source(spark, sf_dir):
     return out.select(*_NATION_COLS, "src_member", "_error")
 
 
+def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic .warc.gz fixture derived from the documents table —
+    the Common-Crawl-style archive form of the north-star input
+    (BASELINE.json input_hint: pages ingested from WARC). Four archives
+    (doc_id % 4), one gzip member per record (the Common Crawl layout),
+    each record an HTTP response wrapping the document text, with the
+    real ``WARC-Identified-Content-Language`` header carrying lang.
+    Bytes are a pure function of the table (mtime=0 gzip, counter
+    timestamps), so the DuckDB twin restates the rows from parquet."""
+    import hashlib
+    import os
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from .sources.warc_source import (
+        http_response_bytes, warc_record_bytes, write_warc_file,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+        .collect()
+    )
+    base = datetime(2024, 1, 1)
+    shards: list[list[bytes]] = [[], [], [], []]
+    digest = hashlib.sha1()
+    for r in rows:
+        body = http_response_bytes(r.text.encode("utf-8"))
+        rec = warc_record_bytes(
+            "response",
+            body,
+            url=f"https://example.org/doc/{r.doc_id}",
+            date_iso=(base + timedelta(seconds=r.doc_id)).strftime(
+                "%Y-%m-%dT%H:%M:%SZ"
+            ),
+            record_id=f"urn:uuid:00000000-0000-4000-8000-{r.doc_id:012d}",
+            content_lang=r.lang,
+        )
+        shards[r.doc_id % 4].append(rec)
+        digest.update(rec)
+    d = os.path.join(
+        tempfile.gettempdir(), f"jsf_warcfix_{digest.hexdigest()[:12]}"
+    )
+    done = os.path.join(d, ".done")
+    if not os.path.exists(done):
+        os.makedirs(d, exist_ok=True)
+        for i, recs in enumerate(shards):
+            write_warc_file(os.path.join(d, f"part-{i}.warc.gz"), recs)
+        with open(f"{done}.{os.getpid()}.tmp", "w") as fh:
+            fh.write("ok")
+        os.replace(f"{done}.{os.getpid()}.tmp", done)  # atomic publish
+    return d
+
+
+def q_wc1_warc_source(spark, sf_dir):
+    """Common-Crawl-style WARC ingest (sources/warc_source.py): four
+    .warc.gz archives (one gzip member per record) → binaryFile scan →
+    Content-Length-driven record parse in mapInPandas → HTTP envelope
+    strip → one row per page. The in-task record_types filter drops
+    warcinfo records before the Arrow boundary; warc_ts and the
+    WARC-Identified-Content-Language header round-trip. This is the
+    ingest that would populate the north-star pages table."""
+    from .sources.warc_source import http_body, read_warc
+
+    fixture = _warc_fixture_dir(spark, sf_dir)
+    recs = read_warc(spark, fixture, record_types=["response"])
+    return recs.select(
+        "url",
+        "warc_ts",
+        "content_lang",
+        F.decode(http_body(F.col("content")), "UTF-8").alias("text"),
+        "_error",
+    )
+
+
 def q_mm1_media_meta(spark, sf_dir):
     """Multimodal plumbing: documents.text treated as an opaque binary
     media column; metadata (byte length, md5) extracted batch-wise in an
@@ -2404,6 +2480,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p3_filter_merge": q_p3_filter_merge,
     "p4_reduce_columns": q_p4_reduce_columns,
     "z1_zip_source": q_z1_zip_source,
+    "wc1_warc_source": q_wc1_warc_source,
     "f3_extract_regex": q_f3_extract_regex,
     "m1_parse_classify": q_m1_parse_classify,
     "m2_critical_routed": q_m2_critical_routed,
@@ -2609,6 +2686,14 @@ ORACLE_SQL: dict[str, str] = {
                'nation.csv' AS src_member,
                '' AS _error
         FROM nation
+    """,
+    "wc1_warc_source": """
+        SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id) AS warc_ts,
+               lang AS content_lang,
+               text,
+               '' AS _error
+        FROM documents
     """,
     "f3_extract_regex": """
         SELECT event_id, regexp_extract(props, '"k": (\\d+)', 1) AS k_str

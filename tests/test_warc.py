@@ -1,0 +1,132 @@
+"""WARC source tests: byte-level parser edges (no Spark), the
+distributed reader roundtrip, and the wc1 fixture contract."""
+
+from __future__ import annotations
+
+import gzip
+
+from juniper_syslog_filter_spark.sources.warc_source import (
+    http_body,
+    http_response_bytes,
+    parse_warc_bytes,
+    read_warc,
+    warc_record_bytes,
+    write_warc_file,
+)
+
+
+def _rec(url: str, body: bytes, **kw) -> bytes:
+    return warc_record_bytes(
+        "response", http_response_bytes(body), url=url,
+        date_iso="2024-01-01T00:00:07Z", **kw,
+    )
+
+
+# ---------------------------------------------------------------------------
+# pure-bytes parser
+# ---------------------------------------------------------------------------
+
+def test_parse_roundtrip_and_offsets():
+    blob = _rec("https://a", b"<html>a</html>") + _rec("https://b", b"<html>b</html>")
+    rows = list(parse_warc_bytes(blob, "f"))
+    assert [r["url"] for r in rows] == ["https://a", "https://b"]
+    assert all(r["_error"] == "" for r in rows)
+    assert rows[0]["record_offset"] == 0
+    assert rows[1]["record_offset"] > 0
+    assert rows[0]["warc_ts"].second == 7
+    # Content-Length-driven: payload is the full HTTP message.
+    assert rows[0]["content"].endswith(b"<html>a</html>")
+
+
+def test_payload_containing_warc_magic_is_not_a_boundary():
+    evil = b"a page about WARC/1.0\r\nWARC-Type: response\r\n\r\n archives"
+    blob = _rec("https://evil", evil) + _rec("https://next", b"ok")
+    rows = list(parse_warc_bytes(blob, "f"))
+    assert [r["url"] for r in rows] == ["https://evil", "https://next"]
+    assert evil in rows[0]["content"]
+
+
+def test_truncated_body_yields_error_row_and_stops():
+    blob = _rec("https://a", b"xyz")[:-10]
+    rows = list(parse_warc_bytes(blob, "f"))
+    assert len(rows) == 1
+    assert "truncated record body" in rows[0]["_error"]
+
+
+def test_bad_magic_and_missing_length():
+    rows = list(parse_warc_bytes(b"GIF89a not a warc", "f"))
+    assert len(rows) == 1 and "bad magic" in rows[0]["_error"]
+    no_len = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody"
+    rows = list(parse_warc_bytes(no_len, "f"))
+    assert len(rows) == 1 and "Content-Length" in rows[0]["_error"]
+
+
+def test_lang_header_and_fractional_date():
+    rec = warc_record_bytes(
+        "response", b"x", url="https://l", content_lang="deu",
+        date_iso="2024-01-01T00:00:01.500000Z",
+    )
+    (row,) = parse_warc_bytes(rec, "f")
+    assert row["content_lang"] == "deu"
+    assert row["warc_ts"].microsecond == 500000
+
+
+# ---------------------------------------------------------------------------
+# distributed reader
+# ---------------------------------------------------------------------------
+
+def test_read_warc_gz_multi_member(spark, tmp_path):
+    recs = [_rec(f"https://d/{i}", f"<p>{i}</p>".encode()) for i in range(10)]
+    write_warc_file(str(tmp_path / "a.warc.gz"), recs[:5])
+    write_warc_file(str(tmp_path / "b.warc"), recs[5:], gzip_per_record=False)
+    out = read_warc(spark, str(tmp_path)).orderBy("url").collect()
+    # 10 responses + 2 warcinfo rows, none in error
+    assert len(out) == 12
+    assert all(r._error == "" for r in out)
+    types = {r.record_type for r in out}
+    assert types == {"response", "warcinfo"}
+    resp = [r for r in out if r.record_type == "response"]
+    assert sorted(r.url for r in resp) == sorted(f"https://d/{i}" for i in range(10))
+
+
+def test_read_warc_record_type_filter_and_http_body(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    write_warc_file(
+        str(tmp_path / "a.warc.gz"),
+        [_rec("https://x", b"<html>BODY</html>")],
+    )
+    out = read_warc(spark, str(tmp_path), record_types=["response"])
+    rows = out.select(
+        "url", F.decode(http_body(F.col("content")), "UTF-8").alias("body")
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].body == "<html>BODY</html>"
+
+
+def test_read_warc_bad_gzip_isolated(spark, tmp_path):
+    (tmp_path / "bad.warc.gz").write_bytes(gzip.compress(b"x")[:8])
+    write_warc_file(str(tmp_path / "good.warc.gz"), [_rec("https://ok", b"y")])
+    out = read_warc(spark, str(tmp_path)).collect()
+    errs = [r for r in out if r._error]
+    oks = [r for r in out if not r._error and r.record_type == "response"]
+    assert len(errs) == 1 and "gzip" in errs[0]._error
+    assert len(oks) == 1 and oks[0].url == "https://ok"
+
+
+def test_wc1_matches_documents(spark, sf_dir):
+    """Fixture contract: wc1 rows == documents rows, text byte-exact."""
+    from juniper_syslog_filter_spark.driver_queries import q_wc1_warc_source
+
+    out = {r.url: r for r in q_wc1_warc_source(spark, sf_dir).collect()}
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang")
+        .collect()
+    )
+    assert len(out) == len(docs)
+    for d in docs:
+        r = out[f"https://example.org/doc/{d.doc_id}"]
+        assert r.text == d.text
+        assert r.content_lang == d.lang
+        assert r.warc_ts.minute * 60 + r.warc_ts.second == d.doc_id % 3600
