@@ -609,6 +609,21 @@ def q_s4_ivf_ann(spark, sf_dir):
     )
 
 
+def q_s6_pq_ann(spark, sf_dir):
+    """Product-quantization ANN (the compressed-index scale path beside
+    s3 LSH and s4 IVF): 8 subspaces × 4 centroids (lowest-vec_id
+    k-means stand-ins), map-side argmin-L2 encode against the broadcast
+    one-row codebook, ADC score = ordered fold of the query's
+    per-subspace distance table, top-10 by approximate distance. The
+    corpus lineage never shuffles — scan → projection →
+    TakeOrderedAndProject."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return S.pq_ann_topk(
+        e.filter(F.col("vec_id") != 0), q, k=10, n_centroids=4, n_sub=8
+    )
+
+
 def q_s5_semantic_dedup(spark, sf_dir):
     """SemDeDup: IVF-cell clustering + within-cell cosine near-dup;
     keep = no lower-id neighbor at cos >= 0.4 in the same cell."""
@@ -2505,6 +2520,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a7_approx_percentiles": q_a7_approx_percentiles,
     "j3_semi_anti": q_j3_semi_anti,
     "s5_semantic_dedup": q_s5_semantic_dedup,
+    "s6_pq_ann": q_s6_pq_ann,
     "pk1_sequence_packing": q_pk1_sequence_packing,
     "d4_ngram_jaccard": q_d4_ngram_jaccard,
     "d6_dup_clusters": q_d6_dup_clusters,
@@ -3106,6 +3122,66 @@ ORACLE_SQL: dict[str, str] = {
                round({S.cosine_sql('v.embedding::DOUBLE[]', 'q.q_emb::DOUBLE[]')}, 6) AS cos_sim
         FROM cells v JOIN probe p ON v.cell = p.cent_id CROSS JOIN q
         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+    # s6: PQ twin — identical codebook (4 lowest corpus vec_ids), the
+    # same pinned-association L2² dot identity, argmin tie → lowest k,
+    # ADC as an ordered left fold (list_reduce over list(... ORDER BY m)
+    # == F.aggregate over the m-ascending zip).
+    "s6_pq_ann": """
+        WITH donors AS (
+          SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS k
+          FROM embeddings WHERE vec_id <> 0 ORDER BY vec_id LIMIT 4
+        ),
+        ms AS (SELECT unnest(range(8)) AS m),
+        cb AS (
+          SELECT d.k, ms.m, (d.embedding::DOUBLE[])[ms.m*8+1 : ms.m*8+8] AS cent
+          FROM donors d CROSS JOIN ms
+        ),
+        subs AS (
+          SELECT e.vec_id, ms.m, (e.embedding::DOUBLE[])[ms.m*8+1 : ms.m*8+8] AS sub
+          FROM embeddings e CROSS JOIN ms WHERE e.vec_id <> 0
+        ),
+        dists AS (
+          SELECT s.vec_id, s.m, c.k,
+                 (list_dot_product(s.sub, s.sub)
+                  - 2 * list_dot_product(s.sub, c.cent))
+                 + list_dot_product(c.cent, c.cent) AS d
+          FROM subs s JOIN cb c ON s.m = c.m
+        ),
+        codes AS (
+          SELECT vec_id, m, k FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (
+                     PARTITION BY vec_id, m ORDER BY d ASC, k ASC
+                   ) AS rn
+            FROM dists
+          ) WHERE rn = 1
+        ),
+        qsubs AS (
+          SELECT ms.m, (e.embedding::DOUBLE[])[ms.m*8+1 : ms.m*8+8] AS sub
+          FROM embeddings e CROSS JOIN ms WHERE e.vec_id = 0
+        ),
+        qd AS (
+          SELECT q.m, c.k,
+                 (list_dot_product(q.sub, q.sub)
+                  - 2 * list_dot_product(q.sub, c.cent))
+                 + list_dot_product(c.cent, c.cent) AS qdist
+          FROM qsubs q JOIN cb c ON q.m = c.m
+        ),
+        adc AS (
+          SELECT cd.vec_id,
+                 string_agg(CAST(cd.k AS VARCHAR), '' ORDER BY cd.m) AS pq_code,
+                 list_reduce(
+                   list_prepend(0.0, list(qd.qdist ORDER BY cd.m)),
+                   (acc, x) -> acc + x
+                 ) AS adc_raw
+          FROM codes cd JOIN qd ON cd.m = qd.m AND cd.k = qd.k
+          GROUP BY cd.vec_id
+        )
+        SELECT vec_id, pq_code, round(adc_raw, 6) AS adc2
+        FROM adc
+        ORDER BY round(adc_raw, 6) ASC, vec_id ASC
+        LIMIT 10
     """,
     "st2_stream_dedup": """
         SELECT DISTINCT md5(text) AS fp FROM documents

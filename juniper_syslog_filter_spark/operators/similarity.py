@@ -487,3 +487,176 @@ def sign_projection_sql(emb_expr: str, out_dim: int = 16, seed: str = "rp:42") -
         f"strpos('02468ace', substr(md5('{seed}:' || j || ':' || d), 1, 1)) > 0 "
         f"THEN 1.0 ELSE -1.0 END)), 6))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-index scale path.
+# ---------------------------------------------------------------------------
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance via the dot identity with PINNED association
+    ``(aa - ab*2) + bb`` — three left-to-right dot folds and one fixed
+    combine order, so Spark and DuckDB produce bit-identical doubles
+    (same discipline as :func:`cosine`)."""
+    return (dot(a, a) - dot(a, b) * F.lit(2.0)) + dot(b, b)
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    n_centroids: int = 4,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ONE-row codebook DataFrame ``cb[m][k] = centroid subvector``
+    (``array<array<array<double>>>``, m-major then k): the ``n_sub``
+    subvectors of the ``n_centroids`` lowest-id corpus vectors (the
+    same k-means stand-in as ivf_ann_topk's coarse quantizer — at real
+    scale you'd Lloyd-train per subspace with lloyd_step; the index
+    structure is identical). The row is O(n_sub·n_centroids·sub_len)
+    doubles — kilobytes — and broadcasts to every encode task."""
+    emb = F.col(emb_col).cast("array<double>")
+    donors = corpus.orderBy(id_col).limit(n_centroids)
+    from pyspark.sql import Window
+
+    # partitionBy(lit) keeps the single-partition sort (n_centroids
+    # rows) without the "no partition defined" WARN.
+    donors = donors.withColumn(
+        "k",
+        F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(id_col)) - 1,
+    )
+    sub_len = F.size(emb) / n_sub  # validated at query build in pq_ann_topk
+    subs = donors.select(
+        "k",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                lambda m: F.slice(
+                    emb, (m * sub_len + 1).cast("int"), sub_len.cast("int")
+                ),
+            )
+        ).alias("m", "cent"),
+    )
+    flat = subs.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("m", "k", "cent"))).alias("flat")
+    )
+    kk = n_centroids
+    return flat.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            lambda m: F.transform(
+                F.sequence(F.lit(0), F.lit(kk - 1)),
+                lambda k: F.element_at(
+                    F.col("flat"), (m * kk + k + 1).cast("int")
+                )["cent"],
+            ),
+        ).alias("cb")
+    )
+
+
+def _pq_sub(emb: Column, m: Column, n_sub: int) -> Column:
+    sub_len = (F.size(emb) / n_sub).cast("int")
+    return F.slice(emb, (m * sub_len + 1).cast("int"), sub_len)
+
+
+def _pq_codes(emb: Column, cb: Column, n_sub: int, n_centroids: int) -> Column:
+    """Per-vector PQ code array (length n_sub, values in [0,
+    n_centroids)): for each subspace, the argmin-L2 centroid, ties to
+    the lowest k. Pure Catalyst HOF fold — ascending k with strict
+    ``<`` — evaluated MAP-SIDE against the broadcast codebook row: the
+    encode pass touches each vector once and never shuffles it."""
+    def argmin(m: Column) -> Column:
+        sub = _pq_sub(emb, m, n_sub)
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+            F.struct(
+                F.lit(float("inf")).alias("d"), F.lit(-1).alias("k")
+            ),
+            lambda acc, k: F.when(
+                _l2sq(sub, F.element_at(F.element_at(cb, m.cast("int") + 1), k + 1))
+                < acc["d"],
+                F.struct(
+                    _l2sq(
+                        sub, F.element_at(F.element_at(cb, m.cast("int") + 1), k + 1)
+                    ).alias("d"),
+                    k.alias("k"),
+                ),
+            ).otherwise(acc),
+        )["k"]
+
+    return F.transform(F.sequence(F.lit(0), F.lit(n_sub - 1)), argmin)
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 4,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    q_col: str = "q_emb",
+) -> DataFrame:
+    """Asymmetric-distance PQ search: encode the corpus (n_sub argmin-L2
+    codes per vector against the broadcast codebook), precompute the
+    query's distance table ``qd[m][k] = L2²(query subvector m, centroid
+    (m,k))``, and score each vector as the ordered fold
+    ``Σ_m qd[m][code_m]`` — the classic ADC lookup sum (Jégou et al.,
+    TPAMI'11; public method). Returns ``(id_col, pq_code, adc2)``,
+    the k smallest approximate distances (ties → lowest id).
+
+    100-TB shape: the corpus lineage is scan → one narrow projection
+    (codes + ADC fold against TWO broadcast one-row tables) →
+    TakeOrderedAndProject. Zero Exchange on the corpus side; the only
+    shuffles are the kilobyte-sized codebook/query-table builds. At
+    real scale the code arrays (n_sub bytes/vector vs 4·dim for floats)
+    are the stored index — this operator is both the build and the
+    probe of that index.
+    """
+    emb = F.col(emb_col).cast("array<double>")
+    cb_row = pq_codebook(corpus, n_centroids, n_sub, id_col, emb_col)
+
+    qe = F.col(q_col).cast("array<double>")
+    qd_row = (
+        query.crossJoin(F.broadcast(cb_row))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_sub - 1)),
+                lambda m: F.transform(
+                    F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+                    lambda kk: _l2sq(
+                        _pq_sub(qe, m, n_sub),
+                        F.element_at(F.element_at("cb", m.cast("int") + 1), kk + 1),
+                    ),
+                ),
+            ).alias("qd")
+        )
+    )
+
+    codes = _pq_codes(emb, F.col("cb"), n_sub, n_centroids)
+    adc = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            F.col("_codes"),
+            lambda m, c: F.element_at(
+                F.element_at("qd", m.cast("int") + 1), c.cast("int") + 1
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        corpus.crossJoin(F.broadcast(cb_row))
+        .crossJoin(F.broadcast(qd_row))
+        .withColumn("_codes", codes)
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(F.col("_codes"), lambda c: c.cast("string")), ""
+            ).alias("pq_code"),
+            F.round(adc, 6).alias("adc2"),
+        )
+        .orderBy(F.asc("adc2"), F.asc(id_col))
+        .limit(k)
+    )

@@ -353,3 +353,19 @@ def test_within_doc_repeats_is_map_only(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "hashpartitioning" not in plan
+
+
+def test_pq_ann_corpus_never_shuffles(spark):
+    """s6: PQ encode + ADC scoring run map-side against two broadcast
+    one-row tables; the corpus lineage ends in TakeOrderedAndProject
+    with no hash Exchange on the corpus key. The only exchanges in the
+    whole plan belong to the kilobyte codebook/query-table builds."""
+    plan = _plan(QUERIES["s6_pq_ann"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning\(vec_id", plan), plan[:2000]
+    # ancestors of the broadcast join (project + top-k) are Exchange-free
+    head = plan.split("BroadcastNestedLoopJoin")[0]
+    assert not re.search(r"(?<!Broadcast)Exchange\b", head), plan[:1500]

@@ -175,3 +175,61 @@ def test_lloyd_step_fixpoint(spark):
     a = {r["cell"]: r["cent_emb"] for r in one.collect()}
     b = {r["cell"]: r["cent_emb"] for r in two.collect()}
     assert a == b == {0: [6.0, 0.0], 1: [0.0, 8.0]}
+
+
+def _pq_numpy_oracle(k=10, n_centroids=4, n_sub=4):
+    """Reference PQ/ADC on the _vecs fixture: donors = lowest corpus
+    ids, argmin-L2 codes (tie -> lowest k), ADC lookup sum."""
+    vecs = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, v, _ in _vecs()}
+    qv = vecs[0]
+    corpus = {i: v for i, v in vecs.items() if i != 0}
+    donors = [corpus[i] for i in sorted(corpus)[:n_centroids]]
+    dim = len(qv)
+    sub = dim // n_sub
+    out = []
+    for i, v in corpus.items():
+        code, adc = [], 0.0
+        for m in range(n_sub):
+            sl = slice(m * sub, (m + 1) * sub)
+            d = [float(np.sum((v[sl] - c[sl]) ** 2)) for c in donors]
+            kk = min(range(n_centroids), key=lambda j: (d[j], j))
+            code.append(kk)
+            adc += float(np.sum((qv[sl] - donors[kk][sl]) ** 2))
+        out.append((i, "".join(map(str, code)), adc))
+    out.sort(key=lambda t: (round(t[2], 6), t[0]))
+    return out[:k]
+
+
+def test_pq_ann_matches_numpy_oracle(emb):
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    got = S.pq_ann_topk(
+        emb.filter(F.col("vec_id") != 0), q, k=10, n_centroids=4, n_sub=4
+    ).collect()
+    expect = _pq_numpy_oracle(k=10, n_centroids=4, n_sub=4)
+    assert [r.vec_id for r in got] == [i for i, _, _ in expect]
+    assert [r.pq_code for r in got] == [c for _, c, _ in expect]
+    for r, (_, _, adc) in zip(got, expect):
+        assert abs(r.adc2 - round(adc, 6)) <= 1e-6
+
+
+def test_pq_donors_encode_to_themselves(emb):
+    """Each codebook donor's subvectors are distance-0 to its own
+    centroid, so its code is its own k repeated (unless another donor
+    ties at 0, impossible on this fixture)."""
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    res = S.pq_ann_topk(
+        emb.filter(F.col("vec_id") != 0), q, k=39, n_centroids=4, n_sub=4
+    ).collect()
+    codes = {r.vec_id: r.pq_code for r in res}
+    for k_idx, vid in enumerate(sorted(codes)[:4]):
+        assert codes[vid] == str(k_idx) * 4
+
+
+def test_pq_code_partitioning_independent(emb):
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    corpus = emb.filter(F.col("vec_id") != 0)
+    a = {r.vec_id: (r.pq_code, r.adc2)
+         for r in S.pq_ann_topk(corpus, q, k=39, n_sub=4).collect()}
+    b = {r.vec_id: (r.pq_code, r.adc2)
+         for r in S.pq_ann_topk(corpus.repartition(7), q, k=39, n_sub=4).collect()}
+    assert a == b
