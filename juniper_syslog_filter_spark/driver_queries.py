@@ -2137,6 +2137,62 @@ def q_h1_host_stats(spark, sf_dir):
     )
 
 
+def q_fl2_domain_blocklist(spark, sf_dir):
+    """UT1/RefinedWeb-style domain-blocklist filter: hosts get a third
+    label on doc_id % 3 == 0 (``cdn.news<k>.example.com``) so the
+    blocklist exercises BOTH semantics — exact host and label-boundary
+    suffix. The blocked-host set is computed on the distinct-host
+    universe (tiny vs the corpus) and broadcast back; the corpus
+    lineage is scan → broadcast join (operators/urlfilter.py)."""
+    from .operators.urlfilter import mark_blocked
+
+    d = load_table(spark, sf_dir, "documents")
+    host = F.lower(
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("cdn.")).otherwise(F.lit("")),
+            F.lit("news"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example.com"),
+        )
+    )
+    bl = spark.createDataFrame(
+        [("news3.example.com",), ("news7.example.com",), ("ads.example.com",)],
+        "entry string",
+    )
+    return mark_blocked(d.select("doc_id", host.alias("host")), bl).select(
+        "doc_id", "host", "blocked"
+    )
+
+
+def q_cp3_fuzzy_dedup_corpus(spark, sf_dir):
+    """End-to-end fuzzy-dedup corpus build — the pipeline every public
+    web-corpus effort runs as its main pass: MinHash-LSH verified pairs
+    (d2 params) → connected-component clusters (d6) → keep the lowest
+    doc_id per cluster → per-source census of the surviving corpus.
+    Every stage is an already-oracle-checked operator; the composition
+    adds one anti-join (sized to non-keepers, i.e. the duplicate set,
+    not the corpus) and two partial aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, "doc_id", "text", threshold=0.5, n_bands=8, rows_per_band=2, k=8
+    )
+    clusters = dup_clusters(pairs.select("id_a", "id_b"))
+    drop = clusters.filter(~F.col("is_keeper")).select("doc_id")
+    kept = d.join(drop, "doc_id", "left_anti")
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_c = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+    return totals.join(kept_c, "source").select(
+        "source",
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).alias("n_removed"),
+        "kept_chars",
+    )
+
+
 def q_d8_url_dedup(spark, sf_dir):
     """URL-normalization dup census — the web-crawl twin of d1 and the
     first, cheapest dedup pass a crawl pipeline runs (one shuffle on
@@ -2548,6 +2604,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ct1_contamination": q_ct1_contamination,
     "ct2_split_leakage": q_ct2_split_leakage,
     "fl1_quality_filter": q_fl1_quality_filter,
+    "fl2_domain_blocklist": q_fl2_domain_blocklist,
+    "cp3_fuzzy_dedup_corpus": q_cp3_fuzzy_dedup_corpus,
     # rows-only (no SQL oracle — stateful streaming; see its docstring)
     "st1_sessionize_stream": q_st1_sessionize_stream,
     # streaming dedup — oracle-checkable (drain-order-invariant output)
@@ -2852,6 +2910,62 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT u AS doc_id, MIN(v) AS cluster_id, MIN(v) = u AS is_keeper
         FROM reach GROUP BY u
+    """,
+    "fl2_domain_blocklist": """
+        WITH d AS (
+          SELECT doc_id,
+                 lower(CASE WHEN doc_id % 3 = 0 THEN 'cdn.' ELSE '' END
+                       || 'news' || (doc_id % 13)::VARCHAR
+                       || '.example.com') AS host
+          FROM documents
+        ),
+        bl(entry) AS (VALUES ('news3.example.com'), ('news7.example.com'),
+                             ('ads.example.com')),
+        blocked AS (
+          SELECT DISTINCT d.host FROM d, bl
+          WHERE d.host = bl.entry OR d.host LIKE '%.' || bl.entry
+        )
+        SELECT d.doc_id, d.host, (b.host IS NOT NULL) AS blocked
+        FROM d LEFT JOIN blocked b USING (host)
+    """,
+    "cp3_fuzzy_dedup_corpus": f"""
+        {_LSH_CAND_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)}
+        , pairs AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b
+          WHERE round({D.jaccard_sql('sa.sh', 'sb.sh')}, 6) >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+          UNION SELECT id_a, id_a FROM pairs
+          UNION SELECT id_b, id_b FROM pairs
+        ),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        nonkeep AS (
+          SELECT u AS doc_id FROM reach GROUP BY u HAVING MIN(v) <> u
+        ),
+        kept AS (
+          SELECT * FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM nonkeep)
+        ),
+        totals AS (
+          SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        ),
+        kc AS (
+          SELECT source, count(*) AS n_kept,
+                 CAST(sum(n_chars) AS BIGINT) AS kept_chars
+          FROM kept GROUP BY source
+        )
+        SELECT t.source, t.n_docs, kc.n_kept,
+               t.n_docs - kc.n_kept AS n_removed, kc.kept_chars
+        FROM totals t JOIN kc USING (source)
     """,
     "st4_stream_stream_join": """
         SELECT p.event_id AS p_id, e.event_id AS e_id

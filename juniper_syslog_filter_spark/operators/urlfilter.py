@@ -1,0 +1,67 @@
+"""Domain-blocklist URL filtering (UT1/RefinedWeb-style).
+
+Every public Common-Crawl curation pipeline starts by dropping pages
+whose host matches a blocklist of domains (exact host OR any
+label-boundary suffix: ``ads.example.com`` blocks
+``cdn.ads.example.com``). The blocklists are large (UT1 ships ~4M
+entries) but HOSTS are vastly fewer than PAGES (~10⁸ hosts vs ~10¹²
+pages in a crawl), which fixes the 100-TB shape:
+
+1. ``distinct`` hosts — one shuffle over the HOST universe, not the
+   corpus;
+2. explode each distinct host's label suffixes (a host has ≤ ~6
+   labels — bounded fan-out on the small side);
+3. left-semi broadcast join against the blocklist → the blocked-host
+   set, which is ≤ the host universe and usually tiny;
+4. broadcast the blocked set back onto the corpus — the corpus lineage
+   is scan → broadcast hash join, zero corpus-side Exchange.
+
+Step 3 broadcasts the BLOCKLIST; if it outgrows the broadcast
+threshold (4M short strings ≈ 100 MB), flip the semi-join build side
+or shuffle the suffix join — the corpus-side contract (step 4) is
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def host_suffixes(host: Column) -> Column:
+    """All label-boundary suffixes of a hostname, longest first:
+    ``cdn.news.example.com`` → ``[cdn.news.example.com,
+    news.example.com, example.com, com]``. Pure Catalyst HOFs."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(labels, i + 1, n - i), "."),
+    )
+
+
+def blocked_hosts(hosts: DataFrame, blocklist: DataFrame, host_col: str = "host") -> DataFrame:
+    """The subset of ``hosts`` (one column, any multiplicity) matching
+    ``blocklist.entry`` exactly or by label-boundary suffix. Output is
+    distinct hosts — small by construction, meant to broadcast back
+    onto the corpus."""
+    return (
+        hosts.select(host_col)
+        .distinct()
+        .select(host_col, F.explode(host_suffixes(F.col(host_col))).alias("_suf"))
+        .join(F.broadcast(blocklist), F.col("_suf") == F.col("entry"), "left_semi")
+        .select(host_col)
+        .distinct()
+    )
+
+
+def mark_blocked(corpus: DataFrame, blocklist: DataFrame, host_col: str = "host") -> DataFrame:
+    """Corpus + a ``blocked`` boolean. The corpus side never shuffles:
+    the blocked-host set is derived on the (small) host universe and
+    broadcast."""
+    blocked = blocked_hosts(corpus, blocklist, host_col).withColumn(
+        "_hit", F.lit(True)
+    )
+    return corpus.join(
+        F.broadcast(blocked), on=host_col, how="left"
+    ).withColumn("blocked", F.coalesce(F.col("_hit"), F.lit(False))).drop("_hit")

@@ -85,3 +85,56 @@ def test_h1_host_extraction_stays_jvm_side(spark):
         .toString()
     )
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+# ---------------------------------------------------------------------------
+# fl2 — domain blocklist (operators/urlfilter.py)
+# ---------------------------------------------------------------------------
+
+
+def test_host_suffixes_label_boundaries(spark):
+    from juniper_syslog_filter_spark.operators.urlfilter import host_suffixes
+
+    row = spark.range(1).select(
+        host_suffixes(F.lit("cdn.news.example.com")).alias("s")
+    ).collect()[0]
+    assert row.s == ["cdn.news.example.com", "news.example.com", "example.com", "com"]
+
+
+def test_blocklist_exact_and_suffix_not_substring(spark):
+    """'example.com' in the blocklist blocks the host itself and any
+    subdomain, but NOT 'notexample.com' (label boundary, not substring
+    suffix)."""
+    from juniper_syslog_filter_spark.operators.urlfilter import mark_blocked
+
+    corpus = spark.createDataFrame(
+        [(1, "example.com"), (2, "cdn.example.com"), (3, "notexample.com"),
+         (4, "example.com.evil.org"), (5, "ok.org")],
+        "doc_id long, host string",
+    )
+    bl = spark.createDataFrame([("example.com",)], "entry string")
+    got = {r.doc_id: r.blocked for r in mark_blocked(corpus, bl).collect()}
+    assert got == {1: True, 2: True, 3: False, 4: False, 5: False}
+
+
+def test_fl2_blocked_set_matches_closed_form(spark):
+    """news3/news7 hosts block exactly doc_id % 13 in {3, 7}, both the
+    bare host and the cdn.-prefixed variant (suffix semantics); the
+    ads.example.com entry matches nothing."""
+    rows = QUERIES["fl2_domain_blocklist"](spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.blocked == (r.doc_id % 13 in (3, 7)), r
+
+
+def test_fl2_corpus_side_is_broadcast_join_only(spark):
+    """The corpus lineage must not shuffle: blocked hosts are derived
+    on the distinct-host universe and broadcast back."""
+    plan = QUERIES["fl2_domain_blocklist"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    import re
+
+    # the only hash Exchange allowed is on the host-universe branch
+    # (distinct over hosts); the corpus key never partitions.
+    assert not re.search(r"Exchange hashpartitioning\(doc_id", plan), plan[:2000]
