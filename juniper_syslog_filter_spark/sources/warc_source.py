@@ -186,6 +186,11 @@ def read_warc(
     per record, the Common Crawl layout) decompress transparently.
     """
     keep = set(record_types) if record_types else None
+    # Flush every N records: a 1 GiB archive holds ~50k records — one
+    # pandas frame for all of them would spike task memory on top of
+    # the (unavoidable with binaryFile) whole-archive blob. Bounded
+    # emission keeps the Arrow writer draining while the parse runs.
+    flush_every = 2048
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -199,10 +204,13 @@ def read_warc(
                             [_err_row(path, 0, f"bad gzip stream: {e}")]
                         )
                         continue
-                rows = [
-                    r for r in parse_warc_bytes(blob, path)
-                    if keep is None or r["_error"] or r["record_type"] in keep
-                ]
+                rows: list[dict] = []
+                for r in parse_warc_bytes(blob, path):
+                    if keep is None or r["_error"] or r["record_type"] in keep:
+                        rows.append(r)
+                        if len(rows) >= flush_every:
+                            yield _records_frame(rows)
+                            rows = []
                 if rows:
                     yield _records_frame(rows)
         yield _records_frame([])
