@@ -1081,6 +1081,43 @@ def q_mm1_media_meta(spark, sf_dir):
     return media_metadata(d, id_col="doc_id", content_col="content")
 
 
+def q_mm2_frame_sample(spark, sf_dir):
+    """Multimodal 1→N expansion: video-style frame sampling over the
+    opaque binary column (operators/multimodal.sample_frames) — the
+    mapInPandas table-function shape a real decoder plugs into. Frames
+    are byte slices (step = len // 4), fingerprinted per frame; the
+    DuckDB twin restates the slice arithmetic on the ASCII text (char
+    length == byte length), so the md5s value-match."""
+    from .operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    frames = sample_frames(d, n_frames=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("int").alias("frame_bytes"),
+    )
+
+
+def q_mm3_media_features(spark, sf_dir):
+    """Multimodal decode→featurize batch pipeline
+    (operators/multimodal.extract_features): the deterministic
+    content-addressed stand-in featurizer (md5-digest bytes / 256 —
+    every value an exact dyadic fraction, so float32 storage and the
+    DuckDB double twin agree bit-for-bit with NO rounding step). The
+    Arrow batch shape and schema are exactly what a real CLIP/codec
+    extractor would use; only the kernel body is the declared stub."""
+    from .operators.multimodal import extract_features
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    return extract_features(d).select("doc_id", "feature")
+
+
 def q_j4_shipping_priority(spark, sf_dir):
     """TPC-H Q3-shaped 3-way join + aggregate + top-k (customer ⋈
     orders ⋈ lineitem): segment/date filters push to the scans, the two
@@ -2598,6 +2635,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a5_cube": q_a5_cube,
     "t7_doc_freq": q_t7_doc_freq,
     "mm1_media_meta": q_mm1_media_meta,
+    "mm2_frame_sample": q_mm2_frame_sample,
+    "mm3_media_features": q_mm3_media_features,
     "j4_shipping_priority": q_j4_shipping_priority,
     "j5_region_volume": q_j5_region_volume,
     "sp1_train_split": q_sp1_train_split,
@@ -3468,6 +3507,40 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "mm1_media_meta": """
         SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS fp_md5
+        FROM documents
+    """,
+    # mm2: the frame slices restated on the ASCII text — step and count
+    # mirror sample_frames exactly (step = max(1, len // 4), k < min(4,
+    # len), frame k = bytes [k*step, k*step+step)).
+    "mm2_frame_sample": """
+        WITH p AS (
+          SELECT doc_id, text,
+                 greatest(1, length(text) // 4) AS step,
+                 least(4, length(text)) AS nf
+          FROM documents WHERE length(text) > 0
+        ),
+        k AS (SELECT unnest(range(4)) AS fi)
+        SELECT p.doc_id,
+               CAST(k.fi AS INT) AS frame_idx,
+               md5(substr(p.text, CAST(k.fi * p.step + 1 AS INT),
+                          CAST(p.step AS INT))) AS frame_md5,
+               CAST(length(substr(p.text, CAST(k.fi * p.step + 1 AS INT),
+                                  CAST(p.step AS INT))) AS INT) AS frame_bytes
+        FROM p JOIN k ON k.fi < p.nf
+    """,
+    # mm3: md5-digest bytes / 256 — hex pairs decoded by strpos
+    # arithmetic; every value is an exact dyadic fraction, so no
+    # rounding is needed for cross-engine equality.
+    "mm3_media_features": """
+        SELECT doc_id,
+               list_transform(range(8), i ->
+                 (CAST(strpos('0123456789abcdef',
+                              substr(md5(text), CAST(i*2+1 AS INT), 1)) - 1
+                       AS DOUBLE) * 16
+                  + (strpos('0123456789abcdef',
+                            substr(md5(text), CAST(i*2+2 AS INT), 1)) - 1)
+                 ) / 256.0
+               ) AS feature
         FROM documents
     """,
     "w3_tumbling_window": """
