@@ -1081,6 +1081,57 @@ def q_mm1_media_meta(spark, sf_dir):
     return media_metadata(d, id_col="doc_id", content_col="content")
 
 
+def q_g1_grouped_ols(spark, sf_dir):
+    """Grouped-MAP applyInPandas surface (operators/grouped.py):
+    per-source OLS fit of n_chars ~ doc_id, emitting residuals. The
+    kernel's moments are exact int64 sums and every float derives via
+    pinned-order divisions, so the SQL twin restating the same moment
+    expressions is bit-identical before the shared round."""
+    from .operators.grouped import ols_residuals
+
+    d = load_table(spark, sf_dir, "documents")
+    out = ols_residuals(d, "source", "doc_id", "n_chars", "doc_id")
+    return out.select("doc_id", "source", F.round("resid", 6).alias("resid"))
+
+
+def q_g2_grouped_agg_median(spark, sf_dir):
+    """Grouped-AGGREGATE pandas_udf surface: per-source LOWER median of
+    n_chars (an element of the data — exact in int64) computed by a
+    Series→scalar Arrow UDF. Spark disallows mixing group-agg pandas
+    UDFs with built-in aggregates in one agg (INVALID_PANDAS_UDF_
+    PLACEMENT), so the row count rides as a second pandas aggregate."""
+    from .operators.grouped import group_count_udf, lower_median_udf
+
+    med = lower_median_udf()
+    cnt = group_count_udf()
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        med("n_chars").alias("med_chars"),
+        cnt("n_chars").alias("n_docs"),
+    )
+
+
+def q_g3_cogroup_asof(spark, sf_dir):
+    """COGROUP applyInPandas surface: the w4 as-of semantics (each
+    event picks the user's latest order at-or-before its timestamp,
+    ties → greatest orderkey) executed as a per-user pandas merge_asof
+    over cogrouped frames — both sides shuffle once on user_id and
+    each user's pair of frames streams through one kernel call."""
+    from .operators.grouped import cogroup_asof
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    out = cogroup_asof(
+        ev, orders,
+        key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        payload_col="o_orderkey", id_col="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("o_orderkey").alias("last_orderkey")
+    )
+
+
 def q_mm2_frame_sample(spark, sf_dir):
     """Multimodal 1→N expansion: video-style frame sampling over the
     opaque binary column (operators/multimodal.sample_frames) — the
@@ -2637,6 +2688,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm1_media_meta": q_mm1_media_meta,
     "mm2_frame_sample": q_mm2_frame_sample,
     "mm3_media_features": q_mm3_media_features,
+    "g1_grouped_ols": q_g1_grouped_ols,
+    "g2_grouped_agg_median": q_g2_grouped_agg_median,
+    "g3_cogroup_asof": q_g3_cogroup_asof,
     "j4_shipping_priority": q_j4_shipping_priority,
     "j5_region_volume": q_j5_region_volume,
     "sp1_train_split": q_sp1_train_split,
@@ -3508,6 +3562,57 @@ ORACLE_SQL: dict[str, str] = {
     "mm1_media_meta": """
         SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS fp_md5
         FROM documents
+    """,
+    # g1: same exact-integer moments, same pinned association order as
+    # the applyInPandas kernel (operators/grouped.ols_residuals) — the
+    # doubles are bit-identical before the shared round(…, 6).
+    "g1_grouped_ols": """
+        WITH m AS (
+          SELECT source, count(*) AS n, sum(doc_id) AS sx,
+                 sum(n_chars) AS sy, sum(doc_id * n_chars) AS sxy,
+                 sum(doc_id * doc_id) AS sxx
+          FROM documents GROUP BY source
+        ),
+        f AS (
+          SELECT source,
+                 CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                 (CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+          FROM m
+        )
+        SELECT d.doc_id, d.source,
+               round(CAST(d.n_chars AS DOUBLE)
+                     - (f.intercept + f.slope * CAST(d.doc_id AS DOUBLE)),
+                     6) AS resid
+        FROM documents d JOIN f USING (source)
+    """,
+    # g2: lower median = the element at 1-based rank (n+1)//2; the
+    # VALUE at that rank is well-defined no matter how row_number
+    # breaks ties between equal n_chars.
+    "g2_grouped_agg_median": """
+        WITH r AS (
+          SELECT source, n_chars,
+                 row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+                 count(*) OVER (PARTITION BY source) AS cnt
+          FROM documents
+        )
+        SELECT source, n_chars AS med_chars, cnt AS n_docs
+        FROM r WHERE rn = (cnt + 1) // 2
+    """,
+    "g3_cogroup_asof": """
+        WITH j AS (
+          SELECT e.event_id, e.user_id, o.o_orderkey,
+                 row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM events e
+          JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, user_id, o_orderkey AS last_orderkey
+        FROM j WHERE rn = 1
     """,
     # mm2: the frame slices restated on the ASCII text — step and count
     # mirror sample_frames exactly (step = max(1, len // 4), k < min(4,
