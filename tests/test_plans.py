@@ -369,3 +369,25 @@ def test_pq_ann_corpus_never_shuffles(spark):
     # ancestors of the broadcast join (project + top-k) are Exchange-free
     head = plan.split("BroadcastNestedLoopJoin")[0]
     assert not re.search(r"(?<!Broadcast)Exchange\b", head), plan[:1500]
+
+
+def test_grouped_map_single_exchange(spark):
+    """g1: groupBy().applyInPandas = ONE hash Exchange on the group key
+    feeding FlatMapGroupsInPandas — no sort-merge machinery, no second
+    shuffle."""
+    plan = _plan(QUERIES["g1_grouped_ols"](spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:2000]
+
+
+def test_cogroup_one_exchange_per_side(spark):
+    """g3: cogroup = one hash Exchange per input on the shared key into
+    FlatMapCoGroupsInPandas; no join operator, no extra shuffles."""
+    plan = _plan(QUERIES["g3_cogroup_asof"](spark, SF))
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan[:2000]
