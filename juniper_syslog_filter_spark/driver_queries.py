@@ -898,6 +898,50 @@ def q_st2_stream_dedup(spark, sf_dir):
     return spark.read.parquet(f"{tmp}/out")
 
 
+def q_st6_stream_dedup_watermark(spark, sf_dir):
+    """BOUNDED-STATE streaming dedup — the call st2's docstring names
+    as the 100-TB form: ``withWatermark`` + ``dropDuplicatesWithinWatermark``.
+    State holds only fingerprints younger than the dedup horizon (10
+    min here) instead of every fingerprint ever seen — on an unbounded
+    crawl ingest that is the difference between O(horizon) and O(corpus)
+    state. Event time is the deterministic warc_ts twin (base +
+    doc_id seconds); the whole fixture spans one horizon and drains in
+    one availableNow pass, so the emitted set is exactly the distinct
+    fingerprint set and the DuckDB twin stays a plain SELECT DISTINCT."""
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    tmp = tempfile.mkdtemp(prefix="st6_")
+    src_dir = f"{tmp}/src"
+    os.makedirs(src_dir)
+    os.symlink(os.path.abspath(path), f"{src_dir}/documents.parquet")
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+        secs=F.col("doc_id").cast("double")
+    )
+    deduped = (
+        stream.select(
+            F.md5(F.col("text").cast("binary")).alias("fp"), ts.alias("ts")
+        )
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["fp"])
+        .select("fp")
+    )
+    with _stream_shards(spark):
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/out")
+
+
 def q_a4_pivot(spark, sf_dir):
     """Pivot (long→wide): per-user event counts, one column per event
     type. The value list is EXPLICIT — with it, Spark pivots in a
@@ -2703,6 +2747,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st1_sessionize_stream": q_st1_sessionize_stream,
     # streaming dedup — oracle-checkable (drain-order-invariant output)
     "st2_stream_dedup": q_st2_stream_dedup,
+    # bounded-state streaming dedup (watermarked) — same oracle shape
+    "st6_stream_dedup_watermark": q_st6_stream_dedup_watermark,
     # streaming windowed agg — oracle-checkable (emitted set = closed windows)
     "st3_stream_window": q_st3_stream_window,
     # stream-stream interval join — oracle-checkable (inner join output
@@ -3391,6 +3437,9 @@ ORACLE_SQL: dict[str, str] = {
         LIMIT 10
     """,
     "st2_stream_dedup": """
+        SELECT DISTINCT md5(text) AS fp FROM documents
+    """,
+    "st6_stream_dedup_watermark": """
         SELECT DISTINCT md5(text) AS fp FROM documents
     """,
     "st3_stream_window": """
