@@ -1063,7 +1063,7 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     base = datetime(2024, 1, 1)
     shards: list[list[bytes]] = [[], [], [], []]
-    digest = hashlib.sha1()
+    digest = hashlib.sha1(b"warcfix-v2-cdx")  # format version: bump on layout change
     for r in rows:
         body = http_response_bytes(r.text.encode("utf-8"))
         rec = warc_record_bytes(
@@ -1104,6 +1104,27 @@ def q_wc1_warc_source(spark, sf_dir):
 
     fixture = _warc_fixture_dir(spark, sf_dir)
     recs = read_warc(spark, fixture, record_types=["response"])
+    return recs.select(
+        "url",
+        "warc_ts",
+        "content_lang",
+        F.decode(http_body(F.col("content")), "UTF-8").alias("text"),
+        "_error",
+    )
+
+
+def q_wc2_warc_indexed(spark, sf_dir):
+    """CDX ranged-read WARC ingest (sources/warc_source.read_warc_indexed):
+    the tiny offset index scans distributed, (file, offset, length)
+    triples repartition across the cluster, and each task seeks into
+    its archive and reads ONLY its gzip member — record-level
+    parallelism independent of archive count (the Common-Crawl CDX
+    pattern; on object stores the seek becomes a ranged GET). Same
+    fixture and same oracle as wc1."""
+    from .sources.warc_source import http_body, read_warc_indexed
+
+    fixture = _warc_fixture_dir(spark, sf_dir)
+    recs = read_warc_indexed(spark, fixture, record_types=["response"])
     return recs.select(
         "url",
         "warc_ts",
@@ -2684,6 +2705,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p4_reduce_columns": q_p4_reduce_columns,
     "z1_zip_source": q_z1_zip_source,
     "wc1_warc_source": q_wc1_warc_source,
+    "wc2_warc_indexed": q_wc2_warc_indexed,
     "f3_extract_regex": q_f3_extract_regex,
     "m1_parse_classify": q_m1_parse_classify,
     "m2_critical_routed": q_m2_critical_routed,
@@ -2901,6 +2923,14 @@ ORACLE_SQL: dict[str, str] = {
         FROM nation
     """,
     "wc1_warc_source": """
+        SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id) AS warc_ts,
+               lang AS content_lang,
+               text,
+               '' AS _error
+        FROM documents
+    """,
+    "wc2_warc_indexed": """
         SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
                TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id) AS warc_ts,
                lang AS content_lang,

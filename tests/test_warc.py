@@ -10,6 +10,7 @@ from juniper_syslog_filter_spark.sources.warc_source import (
     http_response_bytes,
     parse_warc_bytes,
     read_warc,
+    read_warc_indexed,
     warc_record_bytes,
     write_warc_file,
 )
@@ -130,3 +131,56 @@ def test_wc1_matches_documents(spark, sf_dir):
         assert r.text == d.text
         assert r.content_lang == d.lang
         assert r.warc_ts.minute * 60 + r.warc_ts.second == d.doc_id % 3600
+
+
+# ---------------------------------------------------------------------------
+# CDX index + ranged reads
+# ---------------------------------------------------------------------------
+
+def test_cdx_offsets_cover_file_exactly(tmp_path):
+    recs = [_rec(f"https://d/{i}", f"<p>{i}</p>".encode()) for i in range(5)]
+    p = tmp_path / "a.warc.gz"
+    write_warc_file(str(p), recs)
+    lines = (tmp_path / "a.warc.gz.cdx").read_text().splitlines()
+    assert len(lines) == 6  # warcinfo + 5 responses
+    pos = 0
+    for ln in lines:
+        off, length = map(int, ln.split())
+        assert off == pos
+        pos += length
+    assert pos == p.stat().st_size
+
+
+def test_read_warc_indexed_equals_full_reader(spark, tmp_path):
+    recs = [_rec(f"https://d/{i}", f"<p>{i}</p>".encode()) for i in range(12)]
+    write_warc_file(str(tmp_path / "a.warc.gz"), recs[:7])
+    write_warc_file(str(tmp_path / "b.warc.gz"), recs[7:])
+    full = read_warc(spark, str(tmp_path)).collect()
+    idx = read_warc_indexed(spark, str(tmp_path)).collect()
+    key = lambda r: (r.url, r.record_type, bytes(r.content or b""))  # noqa: E731
+    assert sorted(map(key, full)) == sorted(map(key, idx))
+    assert all(r._error == "" for r in idx)
+
+
+def test_read_warc_indexed_record_offsets_match_cdx(spark, tmp_path):
+    recs = [_rec(f"https://d/{i}", b"x" * (10 + i)) for i in range(4)]
+    write_warc_file(str(tmp_path / "a.warc.gz"), recs, warcinfo=False)
+    cdx_offsets = [
+        int(ln.split()[0])
+        for ln in (tmp_path / "a.warc.gz.cdx").read_text().splitlines()
+    ]
+    rows = read_warc_indexed(spark, str(tmp_path)).orderBy("record_offset").collect()
+    assert [r.record_offset for r in rows] == cdx_offsets
+
+
+def test_read_warc_indexed_bad_range_isolated(spark, tmp_path):
+    write_warc_file(str(tmp_path / "a.warc.gz"), [_rec("https://ok", b"y")],
+                    warcinfo=False)
+    # corrupt the index: a range pointing past EOF -> short read
+    with open(tmp_path / "a.warc.gz.cdx", "a") as fh:
+        fh.write("999999 50\n")
+    out = read_warc_indexed(spark, str(tmp_path)).collect()
+    oks = [r for r in out if not r._error]
+    errs = [r for r in out if r._error]
+    assert len(oks) == 1 and oks[0].url == "https://ok"
+    assert len(errs) == 1 and "short read" in errs[0]._error
