@@ -2317,6 +2317,34 @@ def q_fl2_domain_blocklist(spark, sf_dir):
     )
 
 
+def q_fl3_robots_rules(spark, sf_dir):
+    """robots.txt rule-precedence filter (operators/urlfilter.py
+    robots_verdict): longest-prefix wins, allow beats disallow on
+    ties, unruled hosts pass. The rule set exercises the spec's
+    non-segment-aware prefix subtlety ('/article/1' also matches
+    '/article/12/') and the allow-overrides-disallow-on-longer-prefix
+    case. Rules broadcast as one array row per host; the verdict is
+    map-side (zero corpus Exchange)."""
+    from .operators.urlfilter import robots_verdict
+
+    d = _docs_with_url(spark, sf_dir)
+    host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    corpus = d.select("doc_id", host.alias("host"), path.alias("path"))
+    rules = spark.createDataFrame(
+        [
+            ("news1.example.com", "/article/1", False),
+            ("news1.example.com", "/article/1/", True),
+            ("news2.example.com", "/", False),
+            ("news2.example.com", "/article/7/", True),
+        ],
+        "host string, rule_path string, allow boolean",
+    )
+    return robots_verdict(corpus, rules).select(
+        "doc_id", "host", "path", "allowed"
+    )
+
+
 def q_cp3_fuzzy_dedup_corpus(spark, sf_dir):
     """End-to-end fuzzy-dedup corpus build — the pipeline every public
     web-corpus effort runs as its main pass: MinHash-LSH verified pairs
@@ -2764,6 +2792,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ct2_split_leakage": q_ct2_split_leakage,
     "fl1_quality_filter": q_fl1_quality_filter,
     "fl2_domain_blocklist": q_fl2_domain_blocklist,
+    "fl3_robots_rules": q_fl3_robots_rules,
     "cp3_fuzzy_dedup_corpus": q_cp3_fuzzy_dedup_corpus,
     # rows-only (no SQL oracle — stateful streaming; see its docstring)
     "st1_sessionize_stream": q_st1_sessionize_stream,
@@ -3096,6 +3125,33 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT d.doc_id, d.host, (b.host IS NOT NULL) AS blocked
         FROM d LEFT JOIN blocked b USING (host)
+    """,
+    "fl3_robots_rules": """
+        WITH d AS (
+          SELECT doc_id,
+                 'news' || (doc_id % 13)::VARCHAR || '.example.com' AS host,
+                 '/article/' || (doc_id % 25)::VARCHAR || '/' AS path
+          FROM documents
+        ),
+        ru(host, rule_path, allow) AS (VALUES
+          ('news1.example.com', '/article/1', FALSE),
+          ('news1.example.com', '/article/1/', TRUE),
+          ('news2.example.com', '/', FALSE),
+          ('news2.example.com', '/article/7/', TRUE)
+        ),
+        c AS (
+          SELECT d.doc_id, ru.allow,
+                 row_number() OVER (
+                   PARTITION BY d.doc_id
+                   ORDER BY length(ru.rule_path) DESC, ru.allow DESC,
+                            ru.rule_path DESC
+                 ) AS rn
+          FROM d JOIN ru ON d.host = ru.host
+                        AND starts_with(d.path, ru.rule_path)
+        )
+        SELECT d.doc_id, d.host, d.path, COALESCE(c.allow, TRUE) AS allowed
+        FROM d LEFT JOIN (SELECT doc_id, allow FROM c WHERE rn = 1) c
+        USING (doc_id)
     """,
     "cp3_fuzzy_dedup_corpus": f"""
         {_LSH_CAND_CTE.replace("WITH sh", "WITH RECURSIVE sh", 1)}

@@ -55,6 +55,49 @@ def blocked_hosts(hosts: DataFrame, blocklist: DataFrame, host_col: str = "host"
     )
 
 
+def robots_verdict(
+    corpus: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """RFC 9309 (robots.txt) rule-precedence verdict, simplified to its
+    load-bearing core: among a host's rules whose ``rule_path`` is a
+    PREFIX of the URL path, the LONGEST wins; on a length tie, allow
+    beats disallow; no matching rule (or no rules for the host) means
+    allowed. Prefix matching is deliberately not segment-aware —
+    ``/article/1`` also matches ``/article/12/`` — because that is what
+    the robots spec says and what real crawlers implement.
+
+    100-TB shape: rules aggregate per host into ONE array row (a
+    crawl's robots universe is host-sized, broadcastable) and the
+    verdict is a pure map-side HOF over the broadcast join — filter
+    rules by prefix, ``array_max`` over (len, allow, path) structs for
+    the precedence, zero corpus-side Exchange. Adds a column
+    ``allowed``."""
+    rule_sets = rules.groupBy(host_col).agg(
+        F.collect_list(
+            F.struct(
+                F.length("rule_path").alias("l"),
+                F.col("allow"),
+                F.col("rule_path"),
+            )
+        ).alias("_rules")
+    )
+    joined = corpus.join(F.broadcast(rule_sets), on=host_col, how="left")
+    cands = F.filter(
+        F.col("_rules"), lambda r: F.col(path_col).startswith(r["rule_path"])
+    )
+    # array_max on (l, allow, rule_path): longest prefix first, then
+    # allow=true beats false, then the path string as a deterministic
+    # (verdict-neutral) final tie-break.
+    best = F.array_max(cands)
+    allowed = F.when(
+        F.col("_rules").isNull() | (F.size(cands) == 0), F.lit(True)
+    ).otherwise(best["allow"])
+    return joined.withColumn("allowed", allowed).drop("_rules")
+
+
 def mark_blocked(corpus: DataFrame, blocklist: DataFrame, host_col: str = "host") -> DataFrame:
     """Corpus + a ``blocked`` boolean. The corpus side never shuffles:
     the blocked-host set is derived on the (small) host universe and

@@ -138,3 +138,51 @@ def test_fl2_corpus_side_is_broadcast_join_only(spark):
     # the only hash Exchange allowed is on the host-universe branch
     # (distinct over hosts); the corpus key never partitions.
     assert not re.search(r"Exchange hashpartitioning\(doc_id", plan), plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# fl3 — robots.txt rule precedence (operators/urlfilter.robots_verdict)
+# ---------------------------------------------------------------------------
+
+
+def _robots(spark, corpus_rows, rule_rows):
+    from juniper_syslog_filter_spark.operators.urlfilter import robots_verdict
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, host string, path string")
+    rules = spark.createDataFrame(rule_rows, "host string, rule_path string, allow boolean")
+    return {r.doc_id: r.allowed for r in robots_verdict(corpus, rules).collect()}
+
+
+def test_robots_longest_prefix_wins_and_is_not_segment_aware(spark):
+    got = _robots(
+        spark,
+        [(1, "h", "/article/1/"), (2, "h", "/article/12/"), (3, "h", "/other/")],
+        [("h", "/article/1", False), ("h", "/article/1/", True)],
+    )
+    # /article/1/ matches both rules -> longest (the allow) wins;
+    # /article/12/ matches only the bare prefix -> disallowed (the spec's
+    # non-segment-aware subtlety); /other/ matches nothing -> allowed.
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_robots_allow_beats_disallow_on_length_tie(spark):
+    got = _robots(
+        spark,
+        [(1, "h", "/a/x")],
+        [("h", "/a/", False), ("h", "/a/", True)],
+    )
+    assert got == {1: True}
+
+
+def test_robots_unruled_host_allowed(spark):
+    got = _robots(spark, [(1, "nowhere", "/x")], [("h", "/", False)])
+    assert got == {1: True}
+
+
+def test_fl3_corpus_side_stays_map_side(spark):
+    plan = QUERIES["fl3_robots_rules"](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    import re
+
+    assert not re.search(r"Exchange hashpartitioning\(doc_id", plan), plan[:2000]
