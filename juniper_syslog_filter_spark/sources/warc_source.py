@@ -353,7 +353,8 @@ def read_warc_indexed(
         .option("pathGlobFilter", "*.cdx")
         .load(path_glob)
         .selectExpr(
-            "replace(input_file_name(), '.cdx', '') AS src",
+            # anchored: strip only the trailing .cdx, not an infix match
+            r"regexp_replace(input_file_name(), '\\.cdx$', '') AS src",
             "CAST(split(value, ' ')[0] AS LONG) AS off",
             "CAST(split(value, ' ')[1] AS LONG) AS len",
         )
