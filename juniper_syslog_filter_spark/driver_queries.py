@@ -1146,6 +1146,20 @@ def q_mm1_media_meta(spark, sf_dir):
     return media_metadata(d, id_col="doc_id", content_col="content")
 
 
+def q_mm4_media_resize(spark, sf_dir):
+    """Multimodal RESIZE step (operators/multimodal.resize_media):
+    factor-4 mean pooling over the raw bytes — area-average downscaling
+    of a single channel, codec-free, all-integer (floor division, no
+    float racing). The DuckDB twin restates the pooling with ord() over
+    the ASCII text (byte == codepoint for this corpus)."""
+    from .operators.multimodal import resize_media
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    return resize_media(d, factor=4, max_out=16)
+
+
 def q_g1_grouped_ols(spark, sf_dir):
     """Grouped-MAP applyInPandas surface (operators/grouped.py):
     per-source OLS fit of n_chars ~ doc_id, emitting residuals. The
@@ -2782,6 +2796,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm1_media_meta": q_mm1_media_meta,
     "mm2_frame_sample": q_mm2_frame_sample,
     "mm3_media_features": q_mm3_media_features,
+    "mm4_media_resize": q_mm4_media_resize,
     "g1_grouped_ols": q_g1_grouped_ols,
     "g2_grouped_agg_median": q_g2_grouped_agg_median,
     "g3_cogroup_asof": q_g3_cogroup_asof,
@@ -3696,6 +3711,19 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "mm1_media_meta": """
         SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS fp_md5
+        FROM documents
+    """,
+    # mm4: factor-4 mean pooling restated with ord() — byte == codepoint
+    # for the ASCII corpus; all-integer, so values match exactly.
+    "mm4_media_resize": """
+        SELECT doc_id,
+               list_transform(range(least(16, length(text) // 4)), i ->
+                 CAST((ord(substr(text, CAST(i*4+1 AS INT), 1))
+                     + ord(substr(text, CAST(i*4+2 AS INT), 1))
+                     + ord(substr(text, CAST(i*4+3 AS INT), 1))
+                     + ord(substr(text, CAST(i*4+4 AS INT), 1))) // 4 AS INT)
+               ) AS pooled,
+               CAST(length(text) // 4 AS BIGINT) AS n_pooled
         FROM documents
     """,
     # g1: same exact-integer moments, same pinned association order as

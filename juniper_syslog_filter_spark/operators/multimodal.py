@@ -128,10 +128,55 @@ def sample_frames(
     )
 
 
+def resize_media(
+    df: DataFrame,
+    factor: int = 4,
+    max_out: int = 16,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Downsample a media blob by integer-factor mean pooling —
+    ``pooled[i] = (b[f·i] + … + b[f·i+f−1]) // f`` — the resize step of
+    the decode→resize→featurize chain, on raw bytes so it needs no
+    codec: on a real raster this IS area-average downscaling of a
+    single channel; with a decoder in front the kernel is unchanged.
+    Integer floor-division keeps every value exact (no float racing).
+    Emits the first ``max_out`` pooled values as ``array<int>`` plus
+    the full pooled length. Arrow-vectorized, map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pooled, n_out = [], [], []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                if b is None:
+                    continue
+                a = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = len(a) // factor
+                p = (
+                    a[: n * factor]
+                    .reshape(n, factor)
+                    .sum(axis=1, dtype=np.int64)
+                    // factor
+                )
+                ids.append(i)
+                pooled.append([int(v) for v in p[:max_out]])
+                n_out.append(n)
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "pooled": pooled,
+                 "n_pooled": pd.Series(n_out, dtype="int64")}
+            )
+
+    return df.mapInPandas(
+        run, schema=f"{id_col} long, pooled array<int>, n_pooled long"
+    )
+
+
 __all__ = [
     "FEATURE_DIM",
     "HAVE_PIL",
     "extract_features",
     "media_metadata",
+    "resize_media",
     "sample_frames",
 ]

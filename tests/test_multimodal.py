@@ -60,3 +60,24 @@ def test_decode_stub_is_gated():
     if not M.HAVE_PIL:
         with pytest.raises(NotImplementedError):
             M._decode_image(b"anything")
+
+
+def test_resize_media_exact_mean_pool(spark):
+    from juniper_syslog_filter_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, bytes([0, 1, 2, 3, 100, 101, 102, 104, 7]))],  # 9 bytes, factor 4
+        "doc_id long, content binary",
+    )
+    (row,) = resize_media(df, factor=4, max_out=16).collect()
+    # (0+1+2+3)//4 = 1; (100+101+102+104)//4 = 101; trailing byte dropped
+    assert row.pooled == [1, 101]
+    assert row.n_pooled == 2
+
+
+def test_resize_media_short_blob_empty_pool(spark):
+    from juniper_syslog_filter_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame([(1, b"abc")], "doc_id long, content binary")
+    (row,) = resize_media(df, factor=4).collect()
+    assert row.pooled == [] and row.n_pooled == 0
