@@ -184,3 +184,57 @@ def test_read_warc_indexed_bad_range_isolated(spark, tmp_path):
     errs = [r for r in out if r._error]
     assert len(oks) == 1 and oks[0].url == "https://ok"
     assert len(errs) == 1 and "short read" in errs[0]._error
+
+
+# ---------------------------------------------------------------------------
+# property tests (pure-bytes parser; no Spark session needed)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_body = st.binary(min_size=0, max_size=300)
+_urlish = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789./:-", min_size=1, max_size=40
+).map(lambda s: "https://" + s)
+
+
+@given(bodies=st.lists(st.tuples(_urlish, _body), min_size=1, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_parse_roundtrip_arbitrary_bodies(bodies):
+    """write → parse is the identity on (url, payload) for ANY body
+    bytes — including bodies full of \\r\\n, WARC/1.0 magic, or header
+    look-alikes. Content-Length framing makes delimiter content
+    irrelevant; this is the property delimiter-split parsers fail."""
+    blob = b"".join(
+        warc_record_bytes("response", body, url=url) for url, body in bodies
+    )
+    rows = list(parse_warc_bytes(blob, "f"))
+    assert [(r["url"], r["content"]) for r in rows] == [
+        (url, body) for url, body in bodies
+    ]
+    assert all(r["_error"] == "" for r in rows)
+
+
+@given(
+    bodies=st.lists(st.tuples(_urlish, _body), min_size=1, max_size=5),
+    cut=st.integers(min_value=1, max_value=10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_parse_truncation_never_crashes_or_fabricates(bodies, cut):
+    """Truncating the stream at ANY byte yields only (a) fully intact
+    records with byte-exact payloads and (b) at most one error row —
+    never a record whose content differs from what was written."""
+    blob = b"".join(
+        warc_record_bytes("response", body, url=url) for url, body in bodies
+    )
+    cut = min(cut, len(blob))
+    rows = list(parse_warc_bytes(blob[:cut], "f"))
+    errs = [r for r in rows if r["_error"]]
+    ok = [r for r in rows if not r["_error"]]
+    assert len(errs) <= 1
+    # truncation cuts only the tail: intact rows are exactly a prefix
+    # of what was written, in order, byte-exact
+    for r, (url, body) in zip(ok, bodies):
+        assert r["url"] == url and r["content"] == body
+    assert len(ok) <= len(bodies)
