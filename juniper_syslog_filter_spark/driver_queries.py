@@ -1037,7 +1037,9 @@ def q_z1_zip_source(spark, sf_dir):
     return out.select(*_NATION_COLS, "src_member", "_error")
 
 
-def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+def _warc_fixture_dir(
+    spark: SparkSession, sf_dir: str, wrap_html: bool = False
+) -> str:
     """Deterministic .warc.gz fixture derived from the documents table —
     the Common-Crawl-style archive form of the north-star input
     (BASELINE.json input_hint: pages ingested from WARC). Four archives
@@ -1063,9 +1065,20 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     base = datetime(2024, 1, 1)
     shards: list[list[bytes]] = [[], [], [], []]
-    digest = hashlib.sha1(b"warcfix-v2-cdx")  # format version: bump on layout change
+    # format version: bump on layout change (stale /tmp dirs regenerate)
+    salt = b"warcfix-html-v1" if wrap_html else b"warcfix-v2-cdx"
+    digest = hashlib.sha1(salt)
     for r in rows:
-        body = http_response_bytes(r.text.encode("utf-8"))
+        payload = r.text
+        if wrap_html:
+            # realistic page shell: visible text + an entity, plus a
+            # script whose CONTENT must vanish in text extraction
+            payload = (
+                '<html><body><div class="c"><p>'
+                + r.text
+                + " &amp; more</p></div><script>var x = 1;</script></body></html>"
+            )
+        body = http_response_bytes(payload.encode("utf-8"))
         rec = warc_record_bytes(
             "response",
             body,
@@ -1111,6 +1124,23 @@ def q_wc1_warc_source(spark, sf_dir):
         F.decode(http_body(F.col("content")), "UTF-8").alias("text"),
         "_error",
     )
+
+
+def q_wc3_wet_extract(spark, sf_dir):
+    """WET generation — the text-extraction pass a crawl pipeline runs
+    over raw HTML (functions/text.html_to_text): WARC response records
+    wrapping realistic page shells (tags, an entity, a script block
+    whose content must VANISH, not survive tag-stripping) → HTTP
+    envelope strip → regex cascade to visible text. The oracle states
+    the expected TEXT directly from the documents table, so the check
+    proves true recovery, not just twin agreement. All JVM regexp —
+    map-only, zero Python after the archive parse."""
+    from .sources.warc_source import http_body, read_warc
+
+    fixture = _warc_fixture_dir(spark, sf_dir, wrap_html=True)
+    recs = read_warc(spark, fixture, record_types=["response"])
+    html = F.decode(http_body(F.col("content")), "UTF-8")
+    return recs.select("url", T.html_to_text(html).alias("text"))
 
 
 def q_wc2_warc_indexed(spark, sf_dir):
@@ -2748,6 +2778,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "z1_zip_source": q_z1_zip_source,
     "wc1_warc_source": q_wc1_warc_source,
     "wc2_warc_indexed": q_wc2_warc_indexed,
+    "wc3_wet_extract": q_wc3_wet_extract,
     "f3_extract_regex": q_f3_extract_regex,
     "m1_parse_classify": q_m1_parse_classify,
     "m2_critical_routed": q_m2_critical_routed,
@@ -2980,6 +3011,14 @@ ORACLE_SQL: dict[str, str] = {
                lang AS content_lang,
                text,
                '' AS _error
+        FROM documents
+    """,
+    # wc3: the oracle is the EXPECTED visible text (source text + the
+    # entity-decoded suffix), not a twin of the regex cascade — passing
+    # proves the extractor actually recovers the page text.
+    "wc3_wet_extract": """
+        SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+               text || ' & more' AS text
         FROM documents
     """,
     "f3_extract_regex": """

@@ -446,3 +446,52 @@ def winnow_sql(
                 ELSE []::BIGINT[] END AS fps
     FROM _wn_hashes
     """
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (the WET-generation step of a crawl pipeline)
+# ---------------------------------------------------------------------------
+
+# The cascade uses only regex constructs with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): (?is) flags, [^>]*, lazy .*?,
+# \s. Order matters: script/style BLOCKS go first (their text content
+# must vanish, not survive tag-stripping), then tags, then a minimal
+# entity decode, then whitespace collapse.
+_HTML_BLOCK_RES = [
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+]
+_HTML_TAG_RE = r"<[^>]*>"
+_HTML_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&amp;", "&"),  # &amp; LAST: no double-decode
+]
+
+
+def html_to_text(col: Column) -> Column:
+    """Extract visible text from an HTML string: drop script/style
+    blocks, strip tags, decode the five core entities, collapse
+    whitespace. Pure JVM ``regexp_replace`` chain — map-only,
+    whole-stage-codegen, zero Python. Matches :func:`html_to_text_sql`
+    byte-for-byte (same patterns, same order)."""
+    out = col
+    for pat in _HTML_BLOCK_RES:
+        out = F.regexp_replace(out, pat, " ")
+    out = F.regexp_replace(out, _HTML_TAG_RE, " ")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`html_to_text` (RE2; note the explicit 'g'
+    flag — DuckDB's regexp_replace is first-match-only by default,
+    Spark's is global)."""
+    out = expr
+    for pat in _HTML_BLOCK_RES:
+        out = f"regexp_replace({out}, '{pat}', ' ', 'g')"
+    out = f"regexp_replace({out}, '{_HTML_TAG_RE}', ' ', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

@@ -118,3 +118,60 @@ def test_winnow_kernel_matches_expression_and_python(spark):
     for i, t in enumerate(texts):
         assert out[i][0] == py(t), f"kernel vs python: {t!r}"
         assert out[i][1] == py(t), f"expr vs python: {t!r}"
+
+
+# ---------------------------------------------------------------------------
+# html_to_text (WET extraction)
+# ---------------------------------------------------------------------------
+
+
+def test_html_to_text_strips_blocks_tags_entities(spark):
+    from pyspark.sql import functions as F
+
+    from juniper_syslog_filter_spark.functions.text import html_to_text
+
+    html = (
+        '<html><head><style>p { color: red }</style></head>'
+        '<body><p class="a">Hello &amp; <b>world</b></p>'
+        "<script>var x = '<p>not text</p>';</script>"
+        "<p>line\n\ttwo &lt;ok&gt;</p></body></html>"
+    )
+    (row,) = (
+        spark.range(1)
+        .select(html_to_text(F.lit(html)).alias("t"))
+        .collect()
+    )
+    assert row.t == "Hello & world line two <ok>"
+
+
+def test_html_to_text_spark_equals_duckdb_twin(spark):
+    """The Spark cascade and the SQL twin must agree byte-for-byte on
+    adversarial HTML (unterminated tags, entities next to tags,
+    mixed-case SCRIPT, CRLF runs)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from juniper_syslog_filter_spark.functions.text import (
+        html_to_text,
+        html_to_text_sql,
+    )
+
+    cases = [
+        "<p>a</p><p>b</p>",
+        "<SCRIPT>alert('<x>')</SCRIPT>ok",
+        "a &amp;&amp; b &lt;c&gt;",
+        "no tags at all",
+        "<div><div><p>deep</p></div></div>tail",
+        "broken <tag never closes",
+        "a\r\n\r\nb\t\tc",
+        "<style media='x'>body{}</style>visible",
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "h string")
+    got = [r.t for r in df.select(html_to_text(F.col("h")).alias("t")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT {html_to_text_sql('?')}", [c]).fetchone()[0]
+        for c in cases
+    ]
+    assert got == want
