@@ -695,6 +695,29 @@ def q_w1_sessionize(spark, sf_dir):
     )
 
 
+def q_w11_session_window(spark, sf_dir):
+    """Native session windows (F.session_window, 30-min gap) — the
+    built-in twin of w1's lag/cumsum sessionization, emitting the
+    actual window bounds. Boundary semantics, pinned EXPERIMENTALLY
+    (tests/test_funnel_retention.py): the merge is INCLUSIVE — an event
+    at exactly window-end (gap seconds after the last event) still
+    merges; only a strictly greater gap starts a new session. That is
+    the same `>` island test as w1; end = last event ts + gap.
+    Microsecond arithmetic on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy(sw.alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("sess_start"),
+            F.col("sw.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
 def q_w3_tumbling_window(spark, sf_dir):
     """Tumbling 1-hour time-window aggregate via F.window — the batch
     twin of the streaming windowed count (streaming.py); window start is
@@ -2817,6 +2840,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t5_rolling_fp": q_t5_rolling_fp,
     "t6_bpe_tokens": q_t6_bpe_tokens,
     "w1_sessionize": q_w1_sessionize,
+    "w11_session_window": q_w11_session_window,
     "w2_topk_per_group": q_w2_topk_per_group,
     "w3_tumbling_window": q_w3_tumbling_window,
     "w4_asof_join": q_w4_asof_join,
@@ -3737,6 +3761,31 @@ ORACLE_SQL: dict[str, str] = {
         -- float64 (56.0) while Spark returns bigint (56) -- identical values,
         -- divergent hash repr. BIGINT matches Spark's sum-of-int result type.
         SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions FROM g GROUP BY 1
+    """,
+    # w11: session_window's merge is INCLUSIVE at the boundary (an
+    # exact-gap event still merges — pinned by experiment in
+    # tests/test_funnel_retention.py), so the island test is the same
+    # strict > as w1's; end = last ts + gap.
+    "w11_session_window": """
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                          > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+        ),
+        s AS (
+          SELECT user_id, ts,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g
+        )
+        SELECT user_id,
+               min(ts) AS sess_start,
+               max(ts) + INTERVAL 30 MINUTE AS sess_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid
     """,
     "w2_topk_per_group": """
         WITH j AS (

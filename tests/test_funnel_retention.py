@@ -111,3 +111,28 @@ def test_histogram_bins_partition_the_table(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     assert sum(r["n"] for r in rows) == ev.count()
     assert len({r["bin"] for r in rows}) == len(rows)
+
+
+def test_w11_session_window_inclusive_gap_boundary(spark):
+    """Pins session_window's boundary by experiment: an event at
+    EXACTLY gap seconds after the previous one (i.e. at the current
+    window's end) still MERGES — only a strictly greater gap starts a
+    new session. w11's oracle therefore uses the same strict-> island
+    test as w1. Constructed data, since the synthetic events table may
+    contain no exact-1800.000000s gap to exercise the boundary."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 7, "2024-01-01 00:00:00"),
+         (2, 7, "2024-01-01 00:30:00"),          # exactly gap -> merges
+         (3, 7, "2024-01-01 01:00:00.000001")],  # 1 us beyond -> new
+        "event_id long, user_id long, ts string",
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    out = sorted(
+        (r.start, r.n) for r in df.groupBy(sw.alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), F.col("n").alias("n"))
+        .collect()
+    )
+    assert [n for _, n in out] == [2, 1]
