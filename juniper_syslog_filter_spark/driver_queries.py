@@ -1120,8 +1120,16 @@ def _warc_fixture_dir(
     done = os.path.join(d, ".done")
     if not os.path.exists(done):
         os.makedirs(d, exist_ok=True)
+        # Two processes may race here.  Each part file is written to a
+        # pid-unique temp name and os.replace'd into place, so a reader
+        # that already saw .done (published by the other process) can
+        # never observe a truncated archive — content is deterministic,
+        # so concurrent replaces are idempotent.
         for i, recs in enumerate(shards):
-            write_warc_file(os.path.join(d, f"part-{i}.warc.gz"), recs)
+            part = os.path.join(d, f"part-{i}.warc.gz")
+            tmp = f"{part}.{os.getpid()}.tmp"
+            write_warc_file(tmp, recs)
+            os.replace(tmp, part)  # atomic per-file publish
         with open(f"{done}.{os.getpid()}.tmp", "w") as fh:
             fh.write("ok")
         os.replace(f"{done}.{os.getpid()}.tmp", done)  # atomic publish

@@ -59,6 +59,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _persistent_rdd_ids(spark) -> set:
+    """Ids of every RDD currently persisted on this SparkContext.
+
+    ``DataFrame.localCheckpoint`` persists an internal RDD but hands
+    back no handle to it, so per-round eviction in the star-CC loop is
+    done by diffing these snapshots (``JavaSparkContext
+    .getPersistentRDDs`` is the public Scala API surfaced through the
+    py4j gateway — there is no PySpark-level equivalent)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _unpersist_ids(spark, ids) -> None:
+    """Non-blocking unpersist of the given RDD ids (no-op for ids that
+    already vanished). Unpersisting a localCheckpointed RDD frees its
+    blocks AND makes it uncomputable (lineage was truncated) — callers
+    must only pass ids no live plan still references."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        jrdd = jmap.get(i)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str,
@@ -196,9 +220,21 @@ def _cc_star(
     two graph-sized metadata jobs per round.
     """
     spark = pairs.sparkSession
+    # Checkpoint-block hygiene: PySpark's DataFrame.localCheckpoint
+    # returns no RDD handle, so without explicit eviction each round
+    # would LEAK ~3 checkpointed copies of the edge set on executors
+    # (sym + ls + new_edges) for the life of the context. We snapshot
+    # SparkContext.getPersistentRDDs() around each checkpoint and
+    # unpersist a round's intermediates (plus the previous round's edge
+    # set) once the round's outputs are materialized. The snapshot
+    # windows are tight and assume no CONCURRENT persist on this
+    # SparkContext inside them (true for the one-query-at-a-time
+    # driver); a missed id merely delays eviction to context shutdown.
+    ids_a = _persistent_rdd_ids(spark)
     p0 = pairs.select(
         F.col(src_col).alias("u"), F.col(dst_col).alias("v")
     ).localCheckpoint()
+    ids_b = _persistent_rdd_ids(spark)
     # Node census BEFORE dropping self-pairs: isolated nodes that appear
     # only as (x, x) pairs must still be labelled (with themselves).
     nodes = (
@@ -212,6 +248,7 @@ def _cc_star(
         1,
         min(4 * spark.sparkContext.defaultParallelism, n_edges // 200_000 + 1),
     )
+    ids_c = _persistent_rdd_ids(spark)
     # Canonical form: (big, small), self-loops dropped — both phases
     # re-derive the directions they need from this single set.
     edges = (
@@ -223,7 +260,11 @@ def _cc_star(
         .distinct()
         .localCheckpoint()
     )
+    ids_d = _persistent_rdd_ids(spark)
     prev_count = edges.count()
+    # p0 is fully consumed (nodes and edges are both eager checkpoints).
+    _unpersist_ids(spark, ids_b - ids_a)
+    prev_edge_ids = ids_d - ids_c
 
     rounds = 0
     for _ in range(max_iter):
@@ -240,6 +281,7 @@ def _cc_star(
         # demo scale; at real scale the win grows with edge bytes (one
         # network exchange + a node-local checkpoint write vs two
         # network exchanges of the same data).
+        ids_r0 = _persistent_rdd_ids(spark)
         sym = (
             edges.union(
                 edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -247,6 +289,7 @@ def _cc_star(
             .repartition(parts, "u")
             .localCheckpoint()
         )
+        ids_r1 = _persistent_rdd_ids(spark)
         mins = (
             sym.groupBy("u")
             .agg(F.min("v").alias("mv"))
@@ -260,6 +303,7 @@ def _cc_star(
             .distinct()
             .localCheckpoint()
         )
+        ids_r2 = _persistent_rdd_ids(spark)
         # -- small-star: ls is already canonical (u > v everywhere) and
         # already checkpointed partitioned-by-u — no re-exchange.
         minss = ls.groupBy("u").agg(F.min("v").alias("m"))
@@ -272,6 +316,7 @@ def _cc_star(
         new_edges = (
             ss.repartition(parts, "u").distinct().localCheckpoint()
         )
+        ids_r3 = _persistent_rdd_ids(spark)
         new_count = new_edges.count()
         unchanged = (
             new_count == prev_count
@@ -280,6 +325,14 @@ def _cc_star(
             .count()
             == 0
         )
+        # sym and ls are fully consumed (ls / new_edges are eager
+        # checkpoints) and the previous round's edge set has served the
+        # fixpoint anti-join — evict all three so executor block usage
+        # stays O(1) in the round count instead of O(rounds).
+        _unpersist_ids(
+            spark, (ids_r1 - ids_r0) | (ids_r2 - ids_r1) | prev_edge_ids
+        )
+        prev_edge_ids = ids_r3 - ids_r2
         edges, prev_count = new_edges, new_count
         if unchanged:
             break

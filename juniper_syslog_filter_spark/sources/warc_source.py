@@ -109,11 +109,18 @@ def parse_warc_bytes(blob: bytes, src: str) -> Iterator[dict]:
         if not blob.startswith(b"WARC/", pos):
             yield _err_row(src, start, "bad magic: record does not start with WARC/")
             return
-        sep = blob.find(b"\r\n\r\n", pos)
-        sep_len = 4
-        if sep == -1:
-            sep = blob.find(b"\n\n", pos)
-            sep_len = 2
+        # Take whichever header terminator occurs FIRST.  Searching for
+        # \r\n\r\n alone would let a bare-LF-terminated WARC header
+        # (tolerated per the module docstring) followed by a CRLF-bearing
+        # HTTP body swallow body bytes into the header — the HTTP
+        # Content-Length line would then shadow the WARC one and corrupt
+        # every subsequent record boundary.
+        sep_crlf = blob.find(b"\r\n\r\n", pos)
+        sep_lf = blob.find(b"\n\n", pos)
+        if sep_crlf != -1 and (sep_lf == -1 or sep_crlf < sep_lf):
+            sep, sep_len = sep_crlf, 4
+        else:
+            sep, sep_len = sep_lf, 2
         if sep == -1:
             yield _err_row(src, start, "truncated record header")
             return

@@ -267,3 +267,33 @@ def test_pagerank_dangling_false_unchanged(spark):
     r1a = (1 - d) / 2
     assert abs(got["a"] - (1 - d) / 2) < 1e-12
     assert abs(got["b"] - ((1 - d) / 2 + d * r1a)) < 1e-12
+
+
+def test_star_evicts_checkpoint_blocks_per_round(spark):
+    """Round-4 advisor finding: each star round localCheckpoints three
+    edge-set copies (sym, ls, new_edges) and, before the fix, never
+    unpersisted them — executors accumulated O(rounds) blocks. After
+    convergence only the fixpoint edge set + node census (plus whatever
+    was persisted before the call) may remain."""
+    from juniper_syslog_filter_spark.operators.graph import (
+        _persistent_rdd_ids,
+    )
+
+    n = 200  # path graph → multiple star rounds
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a: long, id_b: long"
+    )
+    before = _persistent_rdd_ids(spark)
+    rounds: list[int] = []
+    cc = connected_components(
+        df, "id_a", "id_b", algorithm="star", rounds_out=rounds
+    )
+    cc.count()  # materialize the returned plan
+    leaked = _persistent_rdd_ids(spark) - before
+    assert rounds[0] >= 3, "path graph should need several rounds"
+    # final edges + nodes = 2 live checkpoints; anything O(rounds) is
+    # the leak this test guards against.
+    assert len(leaked) <= 2, (
+        f"{len(leaked)} checkpointed RDDs survive {rounds[0]} rounds: "
+        f"{sorted(leaked)}"
+    )

@@ -238,3 +238,31 @@ def test_parse_truncation_never_crashes_or_fabricates(bodies, cut):
     for r, (url, body) in zip(ok, bodies):
         assert r["url"] == url and r["content"] == body
     assert len(ok) <= len(bodies)
+
+
+def test_bare_lf_header_with_crlf_http_body():
+    """Round-4 advisor finding: a bare-LF-terminated WARC header
+    followed by a CRLF-bearing HTTP body must not be misframed. Before
+    the fix, the \\r\\n\\r\\n search ran first and landed INSIDE the
+    HTTP envelope, so the HTTP Content-Length shadowed the WARC one and
+    every subsequent record boundary was corrupt. The parser must take
+    whichever header terminator occurs first."""
+    http = http_response_bytes(b"<html>lf-header page</html>")
+    lf_rec = (
+        b"WARC/1.0\n"
+        b"WARC-Type: response\n"
+        b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-0000000000aa>\n"
+        b"WARC-Date: 2024-01-01T00:00:01Z\n"
+        b"WARC-Target-URI: https://lf.example\n"
+        + f"Content-Length: {len(http)}\n".encode()
+        + b"\n"          # bare-LF header terminator
+        + http
+        + b"\r\n\r\n"
+    )
+    blob = lf_rec + _rec("https://next", b"<html>next</html>")
+    rows = list(parse_warc_bytes(blob, "f"))
+    assert [r["url"] for r in rows] == ["https://lf.example", "https://next"]
+    assert all(r["_error"] == "" for r in rows)
+    # the WARC Content-Length (full HTTP message), not the HTTP one
+    assert rows[0]["content"] == http
+    assert rows[1]["content"].endswith(b"<html>next</html>")
