@@ -815,25 +815,34 @@ def q_w4_asof_join(spark, sf_dir):
     return out.select("event_id", "user_id", F.col("o_orderkey").alias("last_orderkey"))
 
 
-from contextlib import contextmanager
+def _stream_session(spark, n: int = 8):
+    """Dedicated session for the streaming demos: ``newSession()``
+    shares the SparkContext (same executors, same warehouse) but owns
+    an ISOLATED SQLConf, so the state-store shard width is set without
+    mutating the caller's session — the round-4 fix for the last
+    global-conf mutation (racy under concurrent sessions).
 
-
-@contextmanager
-def _stream_shards(spark, n: int = 8):
-    """State-store shard count for the streaming demos. A streaming
-    checkpoint pins its state partitioning at FIRST run to the session's
+    Why the width matters: a streaming checkpoint pins its state
+    partitioning at FIRST run to the session's
     ``spark.sql.shuffle.partitions`` (it can never change afterwards —
     resizing state means a new checkpoint), and every micro-batch pays
     per-shard provider/commit overhead whether or not a shard holds
     data. These bounded drains carry test-scale state, so 8 shards is
     the honest size; a production deployment sizes this up-front from
-    target state volume, not from the batch session's shuffle width."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    target state volume, not from the batch session's shuffle width.
+
+    The streaming plan must be BUILT on this session (readStream and
+    any static join side); the finished parquet output can be read
+    back on the caller's session."""
+    s = spark.newSession()
+    # session-level confs are not inherited by newSession(); the tz
+    # matters for st3's window/timestamp_ntz round-trip.
+    s.conf.set(
+        "spark.sql.session.timeZone",
+        spark.conf.get("spark.sql.session.timeZone"),
+    )
+    s.conf.set("spark.sql.shuffle.partitions", str(n))
+    return s
 
 
 def q_st1_sessionize_stream(spark, sf_dir):
@@ -862,7 +871,8 @@ def q_st1_sessionize_stream(spark, sf_dir):
     src_dir = f"{tmp}/src"
     os.makedirs(src_dir)
     os.symlink(os.path.abspath(path), f"{src_dir}/events.parquet")
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    ss = _stream_session(spark)
+    stream = ss.readStream.schema(schema).parquet(src_dir)
     # testdata parquet stores ts as TIMESTAMP_NTZ (watermarks require
     # TIMESTAMP) and bigint user_id (SESSION_SCHEMA keys by string).
     events = stream.select(
@@ -870,16 +880,15 @@ def q_st1_sessionize_stream(spark, sf_dir):
         F.col("ts").cast("timestamp").alias("ts"),
     )
     sessions = sessionize_stream(events, gap_minutes=30, watermark_delay="1 second")
-    with _stream_shards(spark):
-        q = (
-            sessions.writeStream.format("parquet")
-            .option("path", f"{tmp}/out")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.read.parquet(f"{tmp}/out")
 
 
@@ -903,21 +912,20 @@ def q_st2_stream_dedup(spark, sf_dir):
     src_dir = f"{tmp}/src"
     os.makedirs(src_dir)
     os.symlink(os.path.abspath(path), f"{src_dir}/documents.parquet")
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    stream = _stream_session(spark).readStream.schema(schema).parquet(src_dir)
     deduped = (
         stream.select(F.md5(F.col("text").cast("binary")).alias("fp"))
         .dropDuplicates(["fp"])
     )
-    with _stream_shards(spark):
-        q = (
-            deduped.writeStream.format("parquet")
-            .option("path", f"{tmp}/out")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.read.parquet(f"{tmp}/out")
 
 
@@ -940,7 +948,7 @@ def q_st6_stream_dedup_watermark(spark, sf_dir):
     src_dir = f"{tmp}/src"
     os.makedirs(src_dir)
     os.symlink(os.path.abspath(path), f"{src_dir}/documents.parquet")
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    stream = _stream_session(spark).readStream.schema(schema).parquet(src_dir)
     ts = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
         secs=F.col("doc_id").cast("double")
     )
@@ -952,16 +960,15 @@ def q_st6_stream_dedup_watermark(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["fp"])
         .select("fp")
     )
-    with _stream_shards(spark):
-        q = (
-            deduped.writeStream.format("parquet")
-            .option("path", f"{tmp}/out")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.read.parquet(f"{tmp}/out")
 
 
@@ -1478,7 +1485,7 @@ def q_st3_stream_window(spark, sf_dir):
     src_dir = f"{tmp}/src"
     os.makedirs(src_dir)
     os.symlink(os.path.abspath(path), f"{src_dir}/events.parquet")
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    stream = _stream_session(spark).readStream.schema(schema).parquet(src_dir)
     agg = (
         stream.select(
             F.col("ts").cast("timestamp").alias("ts"), "event_type"
@@ -1490,16 +1497,15 @@ def q_st3_stream_window(spark, sf_dir):
             F.col("window")["start"].alias("win_start"), "event_type", "n"
         )
     )
-    with _stream_shards(spark):
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", f"{tmp}/out")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     out = spark.read.parquet(f"{tmp}/out")
     # session tz is UTC → ntz cast is value-preserving; matches w3's
     # (and the oracle's) naive-timestamp win_start.
@@ -1527,12 +1533,13 @@ def q_st4_stream_stream_join(spark, sf_dir):
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     tmp = tempfile.mkdtemp(prefix="st4_")
+    ss = _stream_session(spark)
     sides = {}
     for side in ("a", "b"):
         src = f"{tmp}/{side}"
         os.makedirs(src)
         os.symlink(os.path.abspath(path), f"{src}/events.parquet")
-        sides[side] = spark.readStream.schema(schema).parquet(src)
+        sides[side] = ss.readStream.schema(schema).parquet(src)
     p = (
         sides["a"]
         .where(F.col("event_type") == "purchase")
@@ -1560,16 +1567,15 @@ def q_st4_stream_stream_join(spark, sf_dir):
         & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 60 MINUTES")),
         "inner",
     ).select("p_id", "e_id")
-    with _stream_shards(spark):
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", f"{tmp}/out")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.read.schema("p_id long, e_id long").parquet(f"{tmp}/out")
 
 
@@ -1584,7 +1590,10 @@ def q_st5_stream_static_join(spark, sf_dir):
     import os
     import tempfile
 
-    dim = spark.createDataFrame(
+    ss = _stream_session(spark)
+    # the static side must live on the SAME session as the stream —
+    # cross-session joins are rejected.
+    dim = ss.createDataFrame(
         [(et, sev, lvl) for et, sev, lvl in _SEV_CASES],
         "event_type string, severity string, severity_level int",
     )
@@ -1594,20 +1603,19 @@ def q_st5_stream_static_join(spark, sf_dir):
     src_dir = f"{tmp}/src"
     os.makedirs(src_dir)
     os.symlink(os.path.abspath(path), f"{src_dir}/events.parquet")
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    stream = ss.readStream.schema(schema).parquet(src_dir)
     enriched = stream.join(F.broadcast(dim), "event_type", "inner").select(
         "event_id", "severity", "severity_level"
     )
-    with _stream_shards(spark):
-        q = (
-            enriched.writeStream.format("parquet")
-            .option("path", f"{tmp}/out")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.read.schema(
         "event_id long, severity string, severity_level int"
     ).parquet(f"{tmp}/out")
