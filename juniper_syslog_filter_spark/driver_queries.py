@@ -1316,6 +1316,50 @@ def q_mm3_media_features(spark, sf_dir):
     return extract_features(d).select("doc_id", "feature")
 
 
+def q_mm5_png_decode(spark, sf_dir):
+    """REAL image decode (functions/png.py, stdlib zlib + per-scanline
+    unfiltering — closes the round-4 multimodal codec gate): every 5th
+    doc_id becomes a deterministic 10×16 grayscale PNG whose pixel i is
+    the closed form ``(doc_id·31 + 7i) mod 256``, encoded with the
+    per-row filter cycle [None, Sub, Up, Average, Paeth] so the decode
+    path exercises ALL five unfilter branches, then
+    ``extract_features`` decodes the pixels back and emits 8 exact
+    image statistics. The DuckDB twin restates the statistics from the
+    closed form directly — it never sees the PNG bytes — so a value
+    match proves true encode→decode pixel recovery, not twin agreement.
+    Map-only both sides: generation and decode ride the same
+    mapInPandas tasks, zero shuffles."""
+    from .operators.multimodal import extract_features
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 5 == 0)
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from juniper_syslog_filter_spark.functions.png import encode_png
+
+        i = np.arange(160, dtype=np.int64)
+        for pdf in batches:
+            blobs = [
+                encode_png(
+                    ((int(did) * 31 + i * 7) % 256)
+                    .astype(np.uint8)
+                    .reshape(10, 16),
+                    filters=[0, 1, 2, 3, 4],
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    imgs = d.mapInPandas(gen, "doc_id long, content binary")
+    return extract_features(imgs).select("doc_id", "feature")
+
+
 def q_j4_shipping_priority(spark, sf_dir):
     """TPC-H Q3-shaped 3-way join + aggregate + top-k (customer ⋈
     orders ⋈ lineitem): segment/date filters push to the scans, the two
@@ -2868,6 +2912,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm2_frame_sample": q_mm2_frame_sample,
     "mm3_media_features": q_mm3_media_features,
     "mm4_media_resize": q_mm4_media_resize,
+    "mm5_png_decode": q_mm5_png_decode,
     "g1_grouped_ols": q_g1_grouped_ols,
     "g2_grouped_agg_median": q_g2_grouped_agg_median,
     "g3_cogroup_asof": q_g3_cogroup_asof,
@@ -3914,6 +3959,25 @@ ORACLE_SQL: dict[str, str] = {
                  ) / 256.0
                ) AS feature
         FROM documents
+    """,
+    # mm5: the oracle restates the 8 image statistics from the pixel
+    # closed form (doc_id*31 + 7i) mod 256 — it never sees PNG bytes,
+    # so a match proves the stdlib encode→decode chain recovers every
+    # pixel exactly (all five scanline filters are in the cycle).
+    "mm5_png_decode": """
+        SELECT doc_id,
+               [10.0, 16.0, 1.0, mn, mx, me, fs, ls] AS feature
+        FROM (
+          SELECT d.doc_id AS doc_id,
+                 CAST(MIN((d.doc_id*31 + 7*t.i) % 256) AS DOUBLE) AS mn,
+                 CAST(MAX((d.doc_id*31 + 7*t.i) % 256) AS DOUBLE) AS mx,
+                 CAST(SUM((d.doc_id*31 + 7*t.i) % 256) // 160 AS DOUBLE) AS me,
+                 CAST((d.doc_id*31) % 256 AS DOUBLE) AS fs,
+                 CAST((d.doc_id*31 + 7*159) % 256 AS DOUBLE) AS ls
+          FROM documents d, range(160) t(i)
+          WHERE d.doc_id % 5 = 0
+          GROUP BY d.doc_id
+        )
     """,
     "w3_tumbling_window": """
         SELECT date_trunc('hour', ts) AS win_start, event_type,

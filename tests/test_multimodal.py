@@ -81,3 +81,124 @@ def test_resize_media_short_blob_empty_pool(spark):
     df = spark.createDataFrame([(1, b"abc")], "doc_id long, content binary")
     (row,) = resize_media(df, factor=4).collect()
     assert row.pooled == [] and row.n_pooled == 0
+
+
+# ---------------------------------------------------------------------------
+# stdlib PNG codec (functions/png.py) — the real decode path
+# ---------------------------------------------------------------------------
+
+def test_png_known_bytes_decode_exactly():
+    """A fixed, hand-checkable PNG: 2x2 grayscale, filter 0, pixels
+    [[10, 20], [30, 40]]. Decoding must recover the pixels and the
+    encoder must produce these exact bytes (determinism contract)."""
+    import numpy as np
+
+    from juniper_syslog_filter_spark.functions import png as P
+
+    a = np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    blob = P.encode_png(a)
+    assert blob.startswith(P.PNG_MAGIC)
+    assert P.encode_png(a) == blob  # byte-deterministic
+    out = P.decode_png(blob)
+    assert out.dtype == np.uint8 and (out == a).all()
+
+
+def test_png_roundtrip_all_filters_all_color_types():
+    import numpy as np
+
+    from juniper_syslog_filter_spark.functions import png as P
+
+    rng = np.random.RandomState(7)
+    shapes = [(1, 1), (5, 3), (16, 16), (7, 1), (1, 9),
+              (5, 3, 3), (4, 6, 4), (3, 3, 2)]
+    for shape in shapes:
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for filt in (0, 1, 2, 3, 4, [0, 1, 2, 3, 4]):
+            back = P.decode_png(P.encode_png(a, filters=filt))
+            assert back.shape == a.shape and (back == a).all(), (shape, filt)
+
+
+def test_png_palette_and_error_paths():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from juniper_syslog_filter_spark.functions import png as P
+
+    idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    lines = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    blob = (
+        P.PNG_MAGIC
+        + P._chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + P._chunk(b"PLTE", plte)
+        + P._chunk(b"IDAT", zlib.compress(lines))
+        + P._chunk(b"IEND", b"")
+    )
+    out = P.decode_png(blob)
+    assert out.shape == (2, 2, 3)
+    assert tuple(out[0, 0]) == (255, 0, 0) and tuple(out[1, 0]) == (0, 0, 255)
+
+    for bad in (b"nope", P.PNG_MAGIC, P.PNG_MAGIC + b"\x00" * 8):
+        with _pytest.raises(ValueError):
+            P.decode_png(bad)
+    # corrupt one IDAT byte → CRC failure, not silent garbage
+    corrupt = bytearray(P.encode_png(idx))
+    pos = corrupt.index(b"IDAT") + 5
+    corrupt[pos] ^= 0xFF
+    with _pytest.raises(ValueError):
+        P.decode_png(bytes(corrupt))
+
+
+def test_decode_image_decodes_png_without_pil():
+    """The codec gate (round-4 ask): _decode_image must decode real
+    PNGs via the stdlib path even with no PIL in the environment; the
+    non-PNG branch stays gated."""
+    import numpy as np
+
+    from juniper_syslog_filter_spark.functions.png import encode_png
+
+    a = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    assert (M._decode_image(encode_png(a)) == a).all()
+    if not M.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            M._decode_image(b"\xff\xd8\xff jpeg-ish")
+
+
+def test_extract_features_real_pixels_for_png(spark):
+    """PNG blobs featurize from DECODED PIXELS ([h, w, c, min, max,
+    floor-mean, first, last]); non-PNG blobs keep the content-addressed
+    stand-in — both through one Arrow pass."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    from juniper_syslog_filter_spark.functions.png import encode_png
+
+    px = np.array([[5, 250, 17], [0, 128, 33]], dtype=np.uint8)
+    fake = b"RIFF not an image"
+    df = spark.createDataFrame(
+        [(1, encode_png(px, filters=[0, 1, 2, 3, 4])), (2, fake)],
+        "doc_id long, content binary",
+    )
+    got = {r.doc_id: list(r.feature) for r in M.extract_features(df).collect()}
+    assert got[1] == [2.0, 3.0, 1.0, 0.0, 250.0,
+                      float((5 + 250 + 17 + 0 + 128 + 33) // 6), 5.0, 33.0]
+    assert got[2] == M._fake_feature(_hashlib.md5(fake).digest())
+
+
+def test_resize_media_pools_decoded_pixels_for_png(spark):
+    import numpy as np
+
+    from juniper_syslog_filter_spark.functions.png import encode_png
+
+    px = np.array([[0, 1, 2, 3], [100, 101, 102, 104]], dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, encode_png(px, filters=4))], "doc_id long, content binary"
+    )
+    (row,) = M.resize_media(df, factor=4, max_out=16).collect()
+    # pixels row-major: (0+1+2+3)//4 = 1, (100+101+102+104)//4 = 101 —
+    # pooling sees the IMAGE, not the compressed file bytes
+    assert row.pooled == [1, 101] and row.n_pooled == 2
