@@ -391,3 +391,47 @@ def test_cogroup_one_exchange_per_side(spark):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan[:2000]
+
+
+def test_tpch_join_shapes_stable_under_aqe_stat_changes(spark):
+    """Round-4 ask: the TPC-H-shaped joins are the one plan family
+    whose shape comes from size ESTIMATION, not explicit hints — pin
+    that the shape survives a statistics change. Repartitioning both
+    fact sides replaces their parquet-scan stats with shuffle-stage
+    estimates; under AQE (final plan) the small dims must still arrive
+    broadcast, the big fact⋈fact join must stay a shuffle join (never
+    a broadcast of either repartitioned fact), and no nested-loop /
+    cartesian fallback may appear. Threshold 4 KB on a cloned session
+    so only genuinely dim-sized inputs qualify at sf0.001."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "4096")
+    c = load_table(s, SF, "customer")
+    o = load_table(s, SF, "orders").repartition(16)
+    l = load_table(s, SF, "lineitem").repartition(16)
+    n = load_table(s, SF, "nation")
+    r = load_table(s, SF, "region")
+    q = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q.collect()  # AQE finalizes the plan only after execution
+    full = _plan(q)
+    assert "isFinalPlan=true" in full
+    final = full.split("== Initial Plan ==")[0]
+    # nation + region ride in broadcast (customer may too once AQE sees
+    # its true runtime size — that's correct behaviour, not pinned)
+    assert final.count("BroadcastHashJoin") >= 2
+    # the repartitioned fact pair keeps a shuffle join on the key
+    fact_join = [
+        ln for ln in final.splitlines()
+        if "Join" in ln and "l_orderkey" in ln
+    ]
+    assert fact_join and all(
+        "BroadcastHashJoin" not in ln for ln in fact_join
+    ), fact_join
+    assert "NestedLoop" not in final and "CartesianProduct" not in final

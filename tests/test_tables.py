@@ -166,3 +166,85 @@ def test_iceberg_overwrite_partitions_roundtrip(spark, tmp_path):
     # snapshot history exists (time travel is the Iceberg contract)
     snaps = spark.sql(f"SELECT count(*) FROM {ident}.snapshots").collect()[0][0]
     assert snaps >= 3
+
+
+def test_write_table_iceberg_branch_logic_without_jar(spark, monkeypatch):
+    """Round-4 ask #6: the Iceberg integration test stays jar-gated
+    (no runtime stageable offline), but write_table/read_table's BRANCH
+    SELECTION is pure Python and testable ungated. With have_iceberg
+    forced True: catalog identifiers must route to the DSv2 writeTo
+    path with the right partitioning and mode verb; slash paths must
+    still take the parquet branch regardless."""
+    from juniper_syslog_filter_spark import tables as T
+
+    calls: list[tuple] = []
+
+    class FakeWriter:
+        def __init__(self, ident):
+            self.ident = ident
+
+        def partitionedBy(self, *cols):
+            calls.append(("partitionedBy", self.ident, len(cols)))
+            return self
+
+        def append(self):
+            calls.append(("append", self.ident))
+
+        def createOrReplace(self):
+            calls.append(("createOrReplace", self.ident))
+
+        def overwritePartitions(self):
+            calls.append(("overwritePartitions", self.ident))
+
+    monkeypatch.setattr(T, "have_iceberg", lambda s: True)
+    df = spark.createDataFrame([(1, "a")], "id long, sev string")
+    # patch the concrete class (pyspark 4 splits classic/connect
+    # DataFrame; the base-class method is overridden)
+    monkeypatch.setattr(
+        type(df), "writeTo", lambda self, ident: FakeWriter(ident)
+    )
+
+    T.write_table(df, "cat.db.routed", partition_cols=["sev"])
+    T.write_table(df, "cat.db.routed", mode="append")
+    T.write_table(df, "cat.db.routed", mode="replace")
+    assert calls == [
+        ("partitionedBy", "cat.db.routed", 1),
+        ("overwritePartitions", "cat.db.routed"),
+        ("append", "cat.db.routed"),
+        ("createOrReplace", "cat.db.routed"),
+    ]
+
+    # a slash path must bypass the Iceberg branch even with the jar
+    # "present" — it's a filesystem location, not a catalog identifier
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="tbl_branch_")
+    try:
+        T.write_table(df, f"{d}/t", mode="replace")
+        assert spark.read.parquet(f"{d}/t").count() == 1
+        assert not [c for c in calls if c[1] == f"{d}/t"]
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_read_table_routes_catalog_identifier(spark, monkeypatch):
+    """read_table: catalog identifier → spark.read.table; path →
+    spark.read.parquet (checked by the real roundtrip above)."""
+    from juniper_syslog_filter_spark import tables as T
+
+    monkeypatch.setattr(T, "have_iceberg", lambda s: True)
+    seen = {}
+
+    class FakeReader:
+        def table(self, ident):
+            seen["table"] = ident
+            return "sentinel"
+
+    monkeypatch.setattr(
+        type(spark), "read", property(lambda self: FakeReader())
+    )
+    assert T.read_table(spark, "cat.db.t") == "sentinel"
+    assert seen["table"] == "cat.db.t"
