@@ -3,10 +3,17 @@
 the same sf, compare row count, column names, and order-insensitive
 values. Usage: python scripts/check_contract.py [sf_dir] [name_prefix...]
 (prefixes, when given, restrict which queries run)
+
+Set ``CONTRACT_JSON=/path/out.json`` to also write a machine-readable
+per-query record — {name: {status, rows_spark, rows_oracle, wall_sec,
+mode}} plus a summary — so a FULL sweep can be committed as a round
+artifact (the driver's own CORRECTNESS file samples only the first 50
+queries).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -49,13 +56,20 @@ def main(sf_dir: str, prefixes: list[str] | None = None) -> int:
         }
     oracles = entry_mod.oracle_sql()
     failures = []
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         if name not in oracles:
-            print(f"  {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            wall = time.time() - t0
+            print(f"  {name}: rows-only ({len(srows)} rows) [{wall:.1f}s]")
+            record[name] = {
+                "status": "rows-only", "mode": "rows_only",
+                "rows_spark": len(srows), "rows_oracle": None,
+                "wall_sec": round(wall, 2),
+            }
             continue
         res = con.execute(oracles[name])
         dcols = [d[0] for d in res.description]
@@ -66,11 +80,18 @@ def main(sf_dir: str, prefixes: list[str] | None = None) -> int:
         if ok_cols and ok_count:
             ok_vals = normalize(srows, scols) == normalize(drows, dcols)
         status = "OK" if (ok_cols and ok_count and ok_vals) else "FAIL"
+        wall = time.time() - t0
         print(
             f"  {name}: {status} rows={len(srows)}/{len(drows)} "
             f"cols={'=' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'} "
-            f"vals={'=' if ok_vals else 'MISMATCH'} [{time.time()-t0:.1f}s]"
+            f"vals={'=' if ok_vals else 'MISMATCH'} [{wall:.1f}s]"
         )
+        record[name] = {
+            "status": status, "mode": "value_exact",
+            "rows_spark": len(srows), "rows_oracle": len(drows),
+            "cols_match": ok_cols, "vals_match": ok_vals,
+            "wall_sec": round(wall, 2),
+        }
         if status == "FAIL":
             failures.append(name)
             if name in ("d2_minhash_lsh", "d4_ngram_jaccard"):
@@ -97,6 +118,29 @@ def main(sf_dir: str, prefixes: list[str] | None = None) -> int:
             failures.append("entry")
 
     spark.stop()
+    out_json = os.environ.get("CONTRACT_JSON")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(record),
+                    "n_ok": sum(
+                        1 for r in record.values()
+                        if r["status"] in ("OK", "rows-only")
+                    ),
+                    "failures": failures,
+                    "total_wall_sec": round(
+                        sum(r["wall_sec"] for r in record.values()), 1
+                    ),
+                    "queries": record,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {out_json}")
     if failures:
         print(f"FAILURES: {failures}")
         return 1
