@@ -1985,6 +1985,21 @@ def q_d15_remove_repeats(spark, sf_dir):
     )
 
 
+def q_d16_paragraph_dedup(spark, sf_dir):
+    """CCNet-style paragraph-level exact dedup
+    (operators/dedup.paragraph_dedup): 12-word paragraph units,
+    corpus-wide first occurrence kept ((doc_id, pos) order), document
+    reassembled from survivors — the boilerplate-removal pass CCNet /
+    RefinedWeb run before document-level dedup. Two linear shuffles
+    (fingerprint window election + doc-id reassembly), no all-pairs
+    term; the oracle restates the identical chunking, row_number
+    election and ordered reassembly in SQL."""
+    from .operators.dedup import paragraph_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return paragraph_dedup(d, "doc_id", "text", chunk_words=12)
+
+
 def _pagerank_oracle_sql(
     iters: int, damping: float = 0.85, dangling: bool = False
 ) -> str:
@@ -2958,6 +2973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d13_substring_spans": q_d13_substring_spans,
     "d14_within_doc_repeats": q_d14_within_doc_repeats,
     "d15_remove_repeats": q_d15_remove_repeats,
+    "d16_paragraph_dedup": q_d16_paragraph_dedup,
     "fr1_frontier": q_fr1_frontier,
     "d11_edit_distance": q_d11_edit_distance,
     # training-data plumbing: classifier inference, shard shuffle,
@@ -4723,4 +4739,41 @@ ORACLE_SQL["d15_remove_repeats"] = """
            coalesce(agg.text_deduped, '') AS text_deduped,
            (len(words.w) - coalesce(agg.n_kept, 0))::BIGINT AS n_removed
     FROM words LEFT JOIN agg USING (doc_id)
+"""
+
+# d16: identical chunking (12-word windows), identical first-occurrence
+# election (row_number over the paragraph md5, (doc_id, pos) order) and
+# ordered reassembly, restated in SQL. COALESCE('') matches Spark's
+# concat_ws over an empty survivor set.
+ORACLE_SQL["d16_paragraph_dedup"] = """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE length(text) > 0
+    ),
+    idx AS (
+      SELECT doc_id,
+             unnest(range(CAST(ceil(len(w) / 12.0) AS BIGINT)))::BIGINT AS pos,
+             w
+      FROM words
+    ),
+    chunks AS (
+      SELECT doc_id, pos,
+             array_to_string(w[(pos*12+1):(pos*12+12)], ' ') AS par
+      FROM idx
+    ),
+    sel AS (
+      SELECT doc_id, pos, par,
+             row_number() OVER (
+               PARTITION BY md5(par) ORDER BY doc_id, pos
+             ) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS n_par,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(
+             string_agg(CASE WHEN rn = 1 THEN par END, ' ' ORDER BY pos),
+             ''
+           ) AS kept_text
+    FROM sel GROUP BY doc_id
 """

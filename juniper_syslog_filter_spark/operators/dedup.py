@@ -1193,3 +1193,78 @@ def remove_within_doc_repeats(
         kernel,
         schema=f"doc_id {id_type}, text_deduped string, n_removed long",
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 12,
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup (Wenzek et al.,
+    LREC 2020): split each document into paragraph units, fingerprint
+    each unit, keep only the corpus-wide FIRST occurrence of every
+    distinct paragraph (order = (doc_id, position) — deterministic),
+    and reassemble each document from its surviving paragraphs. This is
+    the boilerplate-removal pass CCNet/RefinedWeb run BEFORE document-
+    level dedup: repeated nav bars / license blocks / disclaimers
+    vanish from every copy but the first while unique prose stays.
+
+    The fixture corpus has no newline structure, so a "paragraph" here
+    is a fixed ``chunk_words``-word window (position-aligned chunking —
+    deterministic and SQL-restatable); on real crawl text the splitter
+    is ``split(text, '\\n\\n')`` with the rest of the dataflow
+    unchanged.
+
+    Returns ``(id, n_par, n_kept, kept_text)``; docs with empty text
+    are excluded (no paragraphs).
+
+    Scale shape (100 TB): two linear shuffles — the first-occurrence
+    election is one window over the paragraph FINGERPRINT (Exchange on
+    md5, in-partition sort, row_number — map-side nothing, but state
+    per task is one sort buffer), reassembly is one hash-aggregate on
+    the doc id. Paragraph rows ≈ corpus words / chunk_words, so the
+    shuffled volume is ~the corpus itself: the same cost CCNet pays,
+    with no all-pairs term anywhere. The window carries no frame (pure
+    row_number), so Spark's WindowExec streams groups without
+    buffering beyond one fingerprint's rows (bounded by the corpus-wide
+    copy count of one paragraph — the dup multiplicity, not the
+    corpus).
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks = (
+        df.where(F.length(text_col) > 0)
+        .select(
+            F.col(id_col),
+            words.alias("_w"),
+            n_chunks.alias("_nc"),
+        )
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_nc") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.slice(
+                            F.col("_w"), i * chunk_words + 1, chunk_words
+                        ),
+                    ),
+                )
+            ).alias("pos", "par"),
+        )
+    )
+    w = Window.partitionBy(F.md5("par")).orderBy(id_col, "pos")
+    sel = chunks.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, F.struct("pos", "par"))
+    return sel.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_par"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda s: s["par"]
+            ),
+        ).alias("kept_text"),
+    )

@@ -437,3 +437,36 @@ def test_remove_within_doc_repeats(spark):
         assert r.doc_id == 1
         drop.update(range(r.b_start, r.b_start + r.span_words))
     assert len(drop) == got[1][1]
+
+
+def test_paragraph_dedup_first_occurrence_and_reassembly(spark):
+    """CCNet paragraph dedup on a constructed corpus: a boilerplate
+    chunk shared by three docs survives only in the lowest (doc_id,
+    pos); within-doc repeats collapse too; unique prose is untouched;
+    reassembly preserves original order."""
+    from juniper_syslog_filter_spark.operators.dedup import paragraph_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+    uniq1 = " ".join(f"u{i}" for i in range(12))
+    uniq2 = " ".join(f"v{i}" for i in range(12))
+    tail = "short tail"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq1}"),
+            (2, f"{boiler} {uniq2} {boiler}"),  # boiler repeated in-doc
+            (3, f"{uniq2} {tail}"),             # uniq2 already seen in doc 2
+            (4, ""),                            # empty: excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in paragraph_dedup(df, chunk_words=12).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1].n_par, got[1].n_kept) == (2, 2)
+    assert got[1].kept_text == f"{boiler} {uniq1}"
+    # doc 2: first chunk is the boiler's first occurrence? doc 1 pos 0
+    # wins (lower doc_id) — doc 2 keeps only uniq2
+    assert (got[2].n_par, got[2].n_kept) == (3, 1)
+    assert got[2].kept_text == uniq2
+    # doc 3: uniq2 chunk lost to doc 2; the 2-word tail chunk survives
+    assert (got[3].n_par, got[3].n_kept) == (2, 1)
+    assert got[3].kept_text == tail

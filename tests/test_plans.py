@@ -435,3 +435,14 @@ def test_tpch_join_shapes_stable_under_aqe_stat_changes(spark):
         "BroadcastHashJoin" not in ln for ln in fact_join
     ), fact_join
     assert "NestedLoop" not in final and "CartesianProduct" not in final
+
+
+def test_paragraph_dedup_two_linear_exchanges(spark):
+    """d16 (CCNet paragraph dedup) must cost exactly two linear
+    shuffles — the fingerprint window election and the doc-id
+    reassembly — with no join (the election is a window, not a
+    self-join) and no cartesian term."""
+    plan = _plan(QUERIES["d16_paragraph_dedup"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Window" in plan
+    assert "Join" not in plan and "Cartesian" not in plan

@@ -280,3 +280,40 @@ def test_substring_spans_property(spark, docs):
         ).collect()
     }
     assert got == _spans_brute(rows, k=k, min_len=min_len, cap=cap)
+
+
+# ---------------------------------------------------------------------------
+# PNG codec round-trip (functions/png.py) — pure Python, no Spark session
+# ---------------------------------------------------------------------------
+
+_png_dims = st.tuples(
+    st.integers(min_value=1, max_value=12),  # h
+    st.integers(min_value=1, max_value=12),  # w
+    st.sampled_from([1, 2, 3, 4]),           # channels
+)
+
+
+@given(
+    dims=_png_dims,
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    filters=st.lists(
+        st.integers(min_value=0, max_value=4), min_size=1, max_size=5
+    ),
+)
+@settings(**SETTINGS)
+def test_png_roundtrip_property(dims, seed, filters):
+    """encode→decode is the identity for every shape / channel count /
+    per-row filter assignment — the property the mm5 oracle relies on."""
+    import numpy as np
+
+    from juniper_syslog_filter_spark.functions.png import (
+        decode_png,
+        encode_png,
+    )
+
+    h, w, c = dims
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if c == 1 else (h, w, c)
+    a = rng.randint(0, 256, size=shape).astype(np.uint8)
+    out = decode_png(encode_png(a, filters=filters))
+    assert out.shape == a.shape and (out == a).all()
