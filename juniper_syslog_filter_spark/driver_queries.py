@@ -2459,6 +2459,24 @@ def q_fl2_domain_blocklist(spark, sf_dir):
     )
 
 
+def q_fl4_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (operators/urlfilter.canonicalize_url) —
+    the normalize-before-anything pass frontier dedup, URL dedup (d8)
+    and blocklist matching (fl2) all key on: lowercase scheme+host,
+    default-port strip, fragment drop, trailing-slash-normalized path,
+    tracking params removed and survivors sorted. One Catalyst
+    expression, map-only, zero shuffles (plan-pinned); the DuckDB twin
+    shares every regex (RE2-safe by construction). Emitted alongside
+    the canonical dup-group census key so the value check covers both
+    the string form and its grouping power."""
+    from .operators.urlfilter import canonicalize_url
+
+    d = _docs_with_url(spark, sf_dir)
+    return d.select(
+        "doc_id", canonicalize_url(F.col("url")).alias("url_canon")
+    )
+
+
 def q_fl3_robots_rules(spark, sf_dir):
     """robots.txt rule-precedence filter (operators/urlfilter.py
     robots_verdict): longest-prefix wins, allow beats disallow on
@@ -2939,6 +2957,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fl1_quality_filter": q_fl1_quality_filter,
     "fl2_domain_blocklist": q_fl2_domain_blocklist,
     "fl3_robots_rules": q_fl3_robots_rules,
+    "fl4_url_canonicalize": q_fl4_url_canonicalize,
     "cp3_fuzzy_dedup_corpus": q_cp3_fuzzy_dedup_corpus,
     # rows-only (no SQL oracle — stateful streaming; see its docstring)
     "st1_sessionize_stream": q_st1_sessionize_stream,
@@ -4776,4 +4795,13 @@ ORACLE_SQL["d16_paragraph_dedup"] = """
              ''
            ) AS kept_text
     FROM sel GROUP BY doc_id
+"""
+
+# fl4: the canonicalization twin is generated by the SAME helper module
+# (urlfilter.canonicalize_url_sql) so both engines share every regex.
+from .operators.urlfilter import canonicalize_url_sql as _canon_sql
+
+ORACLE_SQL["fl4_url_canonicalize"] = f"""
+    SELECT doc_id, {_canon_sql(_URL_SQL)} AS url_canon
+    FROM documents
 """

@@ -108,3 +108,92 @@ def mark_blocked(corpus: DataFrame, blocklist: DataFrame, host_col: str = "host"
     return corpus.join(
         F.broadcast(blocked), on=host_col, how="left"
     ).withColumn("blocked", F.coalesce(F.col("_hit"), F.lit(False))).drop("_hit")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — the normalize-before-anything pass a crawl
+# frontier / dedup / blocklist stage all share.
+# ---------------------------------------------------------------------------
+
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL, as one Catalyst
+    expression (map-only, zero Python, shared regex semantics with
+    :func:`canonicalize_url_sql` — RE2-safe: no lookbehind):
+
+    * scheme and host lowercased; default port stripped (``:80`` for
+      http, ``:443`` for https);
+    * fragment dropped;
+    * path: empty → ``/``; trailing slashes stripped except on the
+      bare root;
+    * query: tracking params removed (``utm_*``, ``gclid``,
+      ``fbclid``, ``ref``), survivors SORTED for order-insensitive
+      equality, ``?`` dropped when nothing survives.
+
+    The canonical key is what d8-style URL dedup, frontier dedup and
+    blocklist matching should group on; two syntactically different
+    crawl hits of the same resource collide here.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host_raw = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = F.when(
+        scheme == "http", F.regexp_replace(host_raw, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(host_raw, ":443$", "")
+    ).otherwise(host_raw)
+    path_raw = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    path = F.when(path_raw == "", F.lit("/")).otherwise(
+        F.regexp_replace(path_raw, r"(.)/+$", "$1")
+    )
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(q, "&"),
+                lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(kept == "", F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """DuckDB twin of :func:`canonicalize_url` — identical regexes
+    (RE2-compatible by construction), identical ordering semantics
+    (lexicographic sort of the surviving params)."""
+    scheme = f"lower(regexp_extract({expr}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    host_raw = f"lower(regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    host = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host_raw}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({host_raw}, ':443$', '') "
+        f"ELSE {host_raw} END"
+    )
+    path_raw = f"regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)"
+    path = (
+        f"CASE WHEN {path_raw} = '' THEN '/' "
+        f"ELSE regexp_replace({path_raw}, '(.)/+$', '\\1') END"
+    )
+    q = f"regexp_extract({expr}, '\\?([^#]*)', 1)"
+    # COALESCE: DuckDB's array_to_string returns NULL (not '') for an
+    # empty list, which would null the whole concatenation.
+    kept = (
+        f"COALESCE(array_to_string(list_sort(list_filter(string_split({q}, '&'), "
+        f"x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}'))), '&'), '')"
+    )
+    return (
+        f"{scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {kept} = '' THEN '' ELSE '?' || {kept} END"
+    )

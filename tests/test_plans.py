@@ -446,3 +446,14 @@ def test_paragraph_dedup_two_linear_exchanges(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Window" in plan
     assert "Join" not in plan and "Cartesian" not in plan
+
+
+def test_url_canonicalize_is_map_only(spark):
+    """fl4 is one Catalyst expression over the scan — no Exchange, no
+    Python anywhere (the HOF sort/filter lambdas keep their projection
+    out of whole-stage codegen, but it is still JVM map-side; the scan
+    + url projection beneath stays codegen'd)."""
+    plan = _plan(QUERIES["fl4_url_canonicalize"](spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WholeStageCodegen" in plan or "*(1)" in plan

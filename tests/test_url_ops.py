@@ -186,3 +186,38 @@ def test_fl3_corpus_side_stays_map_side(spark):
     import re
 
     assert not re.search(r"Exchange hashpartitioning\(doc_id", plan), plan[:2000]
+
+
+def test_canonicalize_url_edges(spark):
+    """Port stripping is scheme-aware, params sort, tracking params
+    vanish, paths normalize, fragments drop — hand-pinned expectations,
+    and the DuckDB twin produces the identical strings."""
+    import duckdb
+
+    from juniper_syslog_filter_spark.operators.urlfilter import (
+        canonicalize_url,
+        canonicalize_url_sql,
+    )
+
+    cases = [
+        ("HTTP://Example.COM:80/a/b/?z=2&utm_source=x&a=1#frag",
+         "http://example.com/a/b?a=1&z=2"),
+        ("https://News.example.com:443/", "https://news.example.com/"),
+        ("https://news.example.com:8443/x", "https://news.example.com:8443/x"),
+        ("http://example.com:8080/", "http://example.com:8080/"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/?utm_medium=a&utm_term=b", "https://example.com/"),
+        ("https://example.com/a///", "https://example.com/a"),
+        ("https://example.com/a?fbclid=1&gclid=2&ref=h&b=1",
+         "https://example.com/a?b=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+    con = duckdb.connect()
+    for u, want in cases:
+        (dv,) = con.execute(
+            f"SELECT {canonicalize_url_sql('u')} FROM (SELECT ? AS u)", [u]
+        ).fetchone()
+        assert dv == want, (u, dv, want)
