@@ -2466,9 +2466,9 @@ def q_fl4_url_canonicalize(spark, sf_dir):
     default-port strip, fragment drop, trailing-slash-normalized path,
     tracking params removed and survivors sorted. One Catalyst
     expression, map-only, zero shuffles (plan-pinned); the DuckDB twin
-    shares every regex (RE2-safe by construction). Emitted alongside
-    the canonical dup-group census key so the value check covers both
-    the string form and its grouping power."""
+    shares every regex (RE2-safe by construction). Emits (doc_id,
+    url_canon) — the canonical string IS the dup-group key downstream
+    stages group on."""
     from .operators.urlfilter import canonicalize_url
 
     d = _docs_with_url(spark, sf_dir)

@@ -142,7 +142,13 @@ def decode_png(blob: bytes) -> np.ndarray:
         raise ValueError("zero-dimension PNG")
     channels = _CHANNELS[ctype]
     stride = w * channels
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # keep the documented contract: EVERYTHING outside the
+        # supported profile (including a corrupt-but-CRC-valid deflate
+        # stream, or no IDAT at all) surfaces as ValueError
+        raise ValueError(f"bad PNG zlib stream: {e}") from e
     if len(raw) != h * (stride + 1):
         raise ValueError(
             f"PNG pixel stream length {len(raw)} != expected {h * (stride + 1)}"

@@ -123,9 +123,15 @@ def extract_features(
                     feats.append([0.0] * FEATURE_DIM)
                     continue
                 b = bytes(b)
-                if b[:8] == PNG_MAGIC:
+                # format dispatch lives in _decode_image alone; ANY
+                # undecodable blob (non-PNG without PIL, or a PNG
+                # outside the stdlib codec's profile — interlaced,
+                # 16-bit, truncated, corrupt) falls back to the
+                # content-addressed stand-in so the pipeline stays
+                # total: one bad blob must never abort a 100-TB job.
+                try:
                     feats.append(_pixel_feature(_decode_image(b)))
-                else:
+                except (NotImplementedError, ValueError):
                     feats.append(_fake_feature(hashlib.md5(b).digest()))
             yield pd.DataFrame({id_col: pdf[id_col], "feature": feats})
 
@@ -186,11 +192,13 @@ def resize_media(
                 if b is None:
                     continue
                 b = bytes(b)
-                if b[:8] == PNG_MAGIC:
-                    # real decode: pool over PIXELS (row-major, channels
-                    # interleaved), not file bytes
+                # decodable image → pool over PIXELS (row-major,
+                # channels interleaved); anything undecodable → raw
+                # file bytes, keeping the operator total (see
+                # extract_features for the contract)
+                try:
                     a = _decode_image(b).reshape(-1)
-                else:
+                except (NotImplementedError, ValueError):
                     a = np.frombuffer(b, dtype=np.uint8)
                 n = len(a) // factor
                 p = (

@@ -151,7 +151,9 @@ def canonicalize_url(url: Column) -> Column:
     path = F.when(path_raw == "", F.lit("/")).otherwise(
         F.regexp_replace(path_raw, r"(.)/+$", "$1")
     )
-    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # anchor the search BEFORE the fragment: a '?' inside the fragment
+    # (SPA hash routes like /#/search?q=x) is not a query separator
+    q = F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
     kept = F.array_join(
         F.array_sort(
             F.filter(
@@ -186,7 +188,7 @@ def canonicalize_url_sql(expr: str) -> str:
         f"CASE WHEN {path_raw} = '' THEN '/' "
         f"ELSE regexp_replace({path_raw}, '(.)/+$', '\\1') END"
     )
-    q = f"regexp_extract({expr}, '\\?([^#]*)', 1)"
+    q = f"regexp_extract({expr}, '^[^#]*?\\?([^#]*)', 1)"
     # COALESCE: DuckDB's array_to_string returns NULL (not '') for an
     # empty list, which would null the whole concatenation.
     kept = (

@@ -111,10 +111,16 @@ def main(sf_dir: str, prefixes: list[str] | None = None) -> int:
                         break
 
     # entry() smoke (full-suite runs only)
+    entry_ok = None
     if not prefixes:
-        n = entry_mod.entry(spark).count()
-        print(f"  entry(): {n} rows")
-        if n < 0:
+        try:
+            n = entry_mod.entry(spark).count()
+            print(f"  entry(): {n} rows")
+            entry_ok = n >= 0
+        except Exception as e:  # noqa: BLE001 - smoke check must record, not mask
+            print(f"  entry(): FAIL ({e})")
+            entry_ok = False
+        if not entry_ok:
             failures.append("entry")
 
     spark.stop()
@@ -127,10 +133,15 @@ def main(sf_dir: str, prefixes: list[str] | None = None) -> int:
                 {
                     "sf_dir": sf_dir,
                     "n_queries": len(record),
+                    # n_ok counts per-query records only; a failed
+                    # entry() smoke surfaces via entry_ok AND failures,
+                    # so n_ok == n_queries alone does NOT mean green —
+                    # check failures == [].
                     "n_ok": sum(
                         1 for r in record.values()
                         if r["status"] in ("OK", "rows-only")
                     ),
+                    "entry_ok": entry_ok,
                     "failures": failures,
                     "total_wall_sec": round(
                         sum(r["wall_sec"] for r in record.values()), 1

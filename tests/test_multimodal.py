@@ -202,3 +202,33 @@ def test_resize_media_pools_decoded_pixels_for_png(spark):
     # pixels row-major: (0+1+2+3)//4 = 1, (100+101+102+104)//4 = 101 —
     # pooling sees the IMAGE, not the compressed file bytes
     assert row.pooled == [1, 101] and row.n_pooled == 2
+
+
+def test_undecodable_png_falls_back_not_crashes(spark):
+    """Review finding: a blob that LOOKS like a PNG but is outside the
+    stdlib codec's profile (truncated/corrupt/interlaced) must fall
+    back to the stand-in paths, never abort the job — one bad blob on
+    a 100-TB corpus cannot kill the query."""
+    import hashlib as _h
+
+    import numpy as np
+
+    from juniper_syslog_filter_spark.functions.png import PNG_MAGIC, encode_png
+
+    good = encode_png(np.array([[1, 2], [3, 4]], dtype=np.uint8))
+    truncated = good[: len(good) // 2]
+    corrupt_magic_only = PNG_MAGIC + b"garbage"
+    df = spark.createDataFrame(
+        [(1, good), (2, truncated), (3, corrupt_magic_only)],
+        "doc_id long, content binary",
+    )
+    feats = {r.doc_id: list(r.feature) for r in M.extract_features(df).collect()}
+    assert feats[1] == [2.0, 2.0, 1.0, 1.0, 4.0, 2.0, 1.0, 4.0]
+    for bad, blob in ((2, truncated), (3, corrupt_magic_only)):
+        assert feats[bad] == M._fake_feature(_h.md5(blob).digest())
+    rows = {r.doc_id: r for r in M.resize_media(df, factor=4).collect()}
+    # bad blobs pool their FILE bytes, same as any non-image blob
+    a = np.frombuffer(truncated, dtype=np.uint8)
+    n = len(a) // 4
+    expect = list((a[: n * 4].reshape(n, 4).sum(1, dtype=np.int64) // 4)[:16])
+    assert rows[2].pooled == [int(v) for v in expect]

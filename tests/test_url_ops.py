@@ -221,3 +221,28 @@ def test_canonicalize_url_edges(spark):
             f"SELECT {canonicalize_url_sql('u')} FROM (SELECT ? AS u)", [u]
         ).fetchone()
         assert dv == want, (u, dv, want)
+
+
+def test_canonicalize_url_fragment_question_mark(spark):
+    """Review finding: a '?' inside the fragment (SPA hash routes) must
+    NOT be treated as the query separator — both engines."""
+    import duckdb
+
+    from juniper_syslog_filter_spark.operators.urlfilter import (
+        canonicalize_url,
+        canonicalize_url_sql,
+    )
+
+    cases = [
+        ("https://site.com/#/search?q=x", "https://site.com/"),
+        ("https://site.com/p?a=1#/r?b=2", "https://site.com/p?a=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [w for _, w in cases]
+    con = duckdb.connect()
+    for u, want in cases:
+        (dv,) = con.execute(
+            f"SELECT {canonicalize_url_sql('u')} FROM (SELECT ? AS u)", [u]
+        ).fetchone()
+        assert dv == want, (u, dv, want)
