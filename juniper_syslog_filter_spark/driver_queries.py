@@ -452,6 +452,63 @@ def q_t10_unigram_logprob(spark, sf_dir):
     )
 
 
+def q_t12_bigram_lm(spark, sf_dir):
+    """Interpolated bigram LM quality score — the LM-scoring stage
+    CCNet runs with KenLM, in its Spark-honest form: corpus bigram +
+    unigram tables (two vocab-sized aggregates), score(w1,w2) =
+    log(0.7·C(w1w2)/C(w1) + 0.3·(C(w2)+1)/(T+V)) (MLE bigram
+    interpolated with an add-one unigram — every operand an exact
+    integer ratio, so both engines fold identical IEEE doubles up to
+    libm's log), per-doc mean over its bigrams, rounded 6 (the t10
+    convention). Scale shape: the LM table is vocab²-bounded and in
+    practice top-K-pruned + broadcast; here the corpus-side join
+    shuffles on the bigram key — one corpus-linear Exchange, the same
+    budget as t10. Docs with <2 words have no bigrams and are absent,
+    matching the SQL twin's inner join."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    stats = uni.agg(
+        F.sum("cu").alias("tot"), F.count(F.lit(1)).alias("vsz")
+    )
+    big = d.select(
+        "doc_id", F.explode(T.word_bigrams(F.col("text"))).alias("bg")
+    )
+    bgc = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    parts = F.split(F.col("bg"), " ")
+    lm = (
+        bgc.withColumn("w1", parts.getItem(0))
+        .withColumn("w2", F.element_at(parts, -1))
+        .join(
+            uni.select(F.col("w").alias("w1"), F.col("cu").alias("c1")), "w1"
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2")), "w2"
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "bg",
+            F.log(
+                F.lit(0.7)
+                * (F.col("cb").cast("double") / F.col("c1").cast("double"))
+                + F.lit(0.3)
+                * (
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("tot") + F.col("vsz")).cast("double")
+                )
+            ).alias("logp"),
+        )
+    )
+    return (
+        big.join(lm, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("logp"), 6).alias("lp"),
+        )
+    )
+
+
 def q_d5_simhash_hamming(spark, sf_dir):
     """Simhash near-dup pairs via band self-join (exact for hamming <=
     n_bands-1 by pigeonhole; Manku et al. WWW'07 dataflow) — the
@@ -3019,6 +3076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w8_running_total": q_w8_running_total,
     "a6_histogram": q_a6_histogram,
     "t11_repetition": q_t11_repetition,
+    "t12_bigram_lm": q_t12_bigram_lm,
     "d9_incremental_dedup": q_d9_incremental_dedup,
     "cp2_token_budget": q_cp2_token_budget,
     "d10_incremental_lsh": q_d10_incremental_lsh,
@@ -4804,4 +4862,38 @@ from .operators.urlfilter import canonicalize_url_sql as _canon_sql
 ORACLE_SQL["fl4_url_canonicalize"] = f"""
     SELECT doc_id, {_canon_sql(_URL_SQL)} AS url_canon
     FROM documents
+"""
+
+# t12: identical arithmetic order — log(0.7*(cb/c1) + 0.3*((c2+1)/(T+V)))
+# over exact integer counts; per-doc mean rounded 6 (t10 convention).
+ORACLE_SQL["t12_bigram_lm"] = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    uni AS (
+      SELECT t.w AS w, count(*) AS cu
+      FROM (SELECT unnest(ws) AS w FROM w) t GROUP BY 1
+    ),
+    stats AS (SELECT sum(cu) AS tot, count(*) AS vsz FROM uni),
+    g AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ws) >= 2
+                         THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+                         ELSE [] END) AS bg
+      FROM w
+    ),
+    bgc AS (SELECT bg, count(*) AS cb FROM g GROUP BY 1),
+    lm AS (
+      SELECT bg,
+             ln(0.7 * (cb::DOUBLE / u1.cu::DOUBLE)
+                + 0.3 * ((u2.cu + 1)::DOUBLE / (s.tot + s.vsz)::DOUBLE)) AS logp
+      FROM bgc
+      JOIN uni u1 ON u1.w = string_split(bg, ' ')[1]
+      JOIN uni u2 ON u2.w = string_split(bg, ' ')[-1]
+      CROSS JOIN stats s
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(logp), 6) AS lp
+    FROM g JOIN lm USING (bg) GROUP BY 1
 """

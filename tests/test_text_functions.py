@@ -175,3 +175,40 @@ def test_html_to_text_spark_equals_duckdb_twin(spark):
         for c in cases
     ]
     assert got == want
+
+
+def test_t12_bigram_lm_matches_numpy(spark):
+    """Interpolated bigram LM score on a tiny constructed corpus,
+    cross-checked against a literal numpy/python restatement."""
+    import math
+
+    from juniper_syslog_filter_spark import driver_queries as DQ
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "c"), (3, "b a")],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")) \
+     .withColumn("n_chars", F.length("text"))
+    orig = DQ.load_table
+    try:
+        DQ.load_table = lambda s, sf, name: docs  # noqa: ARG005
+        got = {
+            r.doc_id: (r.n_bigrams, r.lp)
+            for r in DQ.q_t12_bigram_lm(spark, "unused").collect()
+        }
+    finally:
+        DQ.load_table = orig
+
+    # hand model: unigrams a:4 b:4 c:2, T=10, V=3
+    uni = {"a": 4, "b": 4, "c": 2}
+    T_, V_ = 10, 3
+    bgc = {"a b": 3, "b a": 2, "b c": 1}
+    def lp(bg):
+        w1, w2 = bg.split(" ")
+        return math.log(0.7 * (bgc[bg] / uni[w1]) + 0.3 * ((uni[w2] + 1) / (T_ + V_)))
+    def doc_lp(grams):
+        return round(sum(lp(g) for g in grams) / len(grams), 6)
+    assert got[0] == (3, doc_lp(["a b", "b a", "a b"]))
+    assert got[1] == (2, doc_lp(["a b", "b c"]))
+    assert 2 not in got  # single-word doc: no bigrams
+    assert got[3] == (1, doc_lp(["b a"]))
